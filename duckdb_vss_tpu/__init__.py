@@ -1,0 +1,33 @@
+"""duckdb_vss_tpu — a TPU-native vector-search execution engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+duckdb/duckdb_vss extension (HNSW ANN indexing over fixed-size float
+array columns, query-plan rewrites for top-k distance queries, brute
+force fallbacks, persistence, and introspection), built for TPU:
+batched MXU distance kernels, beam-batched graph traversal, masked
+static-shape control flow, and mesh-sharded multi-host search.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: TPU compiles of the scan/traversal
+# programs take minutes; cache them across processes. Disable by setting
+# DVT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("DVT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "DVT_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "duckdb_vss_tpu_xla"),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from duckdb_vss_tpu.utils.config import (  # noqa: F401
+    BinderError,
+    HNSWConfig,
+    MetricKind,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,355 @@
+"""Batched HNSW construction — lock-free, deterministic, device-resident.
+
+The reference builds the graph with one construct task per CPU thread over
+a shared graph protected by per-node bit-locks
+(/root/reference/src/hnsw/hnsw_index_physical_create.cpp:231-243,
+usearch index.hpp:1932-1948, add() at index.hpp:2297-2378). The TPU
+re-design replaces per-node locks with batch-parallel insertion and
+deterministic conflict resolution:
+
+- a batch of B new nodes runs the layered candidate search together
+  (greedy-seeded beam per level, all shapes static);
+- neighbor selection is usearch's `refine_` diversity heuristic
+  (index.hpp:3601-3638) vectorized: pairwise candidate distances as one
+  batched matmul + a masked sequential keep-scan;
+- back-edges (reconnect_neighbor_nodes_, index.hpp:3269-3313) are applied
+  in R conflict-free rounds: edge requests are sorted by target node,
+  ranked within each target group, and each round scatters one unique
+  request per target (rank r), merging + re-pruning that target's list.
+  Requests beyond rank R-1 are dropped — later batches repair coverage
+  (the same information loss a lock-based racer admits);
+- intra-batch connectivity (nodes of one batch can't reach each other
+  through the not-yet-written graph) is restored by seeding each node's
+  beam with its nearest batch peers, computed as one [B, B] matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from duckdb_vss_tpu.models.graph import (
+    GraphState,
+    L_MAX,
+    beam_search,
+    gather_scores,
+)
+from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.padding import INF_SCORE
+
+_EPS = 1e-30
+
+
+def _pairwise_scores(
+    vecs: jax.Array,  # [B, C, D]
+    sq: jax.Array,  # [B, C]
+    metric: MetricKind,
+) -> jax.Array:
+    """All-pairs index-metric scores within each candidate set: [B, C, C]."""
+    dot = lax.dot_general(
+        vecs,
+        vecs,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == MetricKind.IP:
+        return 1.0 - dot
+    if metric == MetricKind.L2SQ:
+        return jnp.maximum(sq[:, :, None] - 2.0 * dot + sq[:, None, :], 0.0)
+    if metric == MetricKind.COSINE:
+        denom = jnp.sqrt(sq[:, :, None] * sq[:, None, :])
+        cos = dot / jnp.maximum(denom, _EPS)
+        score = 1.0 - cos
+        zero_i = sq[:, :, None] <= 0.0
+        zero_j = sq[:, None, :] <= 0.0
+        score = jnp.where(zero_i | zero_j, 1.0, score)
+        score = jnp.where(zero_i & zero_j, 0.0, score)
+        return score
+    raise ValueError(f"unknown metric {metric}")
+
+
+def select_diverse(
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    cand_ids: jax.Array,  # [B, C] ascending by score, -1 padded
+    cand_scores: jax.Array,  # [B, C]
+    m_out: int,
+    metric: MetricKind,
+) -> jax.Array:
+    """usearch `refine_` (index.hpp:3601-3638), batched.
+
+    Walk candidates in ascending-distance order; keep c iff for every
+    already-kept r: dist(c, target) < dist(c, r). Returns [B, m_out]
+    selected ids, -1 padded, in selection order.
+    """
+    b, c = cand_ids.shape
+    safe = jnp.maximum(cand_ids, 0)
+    vecs = jnp.take(vectors, safe, axis=0)
+    sq = jnp.take(vec_sq, safe, axis=0)
+    pair = _pairwise_scores(vecs, sq, metric)  # [B, C, C]
+    valid = (cand_ids >= 0) & (cand_scores < INF_SCORE)
+
+    def body(i, carry):
+        kept, n_kept = carry
+        # candidate i is kept iff no kept j has pair[i, j] <= score[i]
+        score_i = lax.dynamic_index_in_dim(cand_scores, i, axis=1)  # [B, 1]
+        closer_to_kept = jnp.any(kept & (pair[:, i, :] <= score_i), axis=1)
+        take_i = valid[:, i] & (n_kept < m_out) & ~closer_to_kept
+        kept = kept.at[:, i].set(take_i)
+        return kept, n_kept + take_i.astype(jnp.int32)
+
+    kept, n_kept = lax.fori_loop(
+        0, c, body, (jnp.zeros((b, c), jnp.bool_), jnp.zeros((b,), jnp.int32))
+    )
+    # compact kept ids to the front, -1 pad
+    rank = jnp.arange(c, dtype=jnp.int32)[None, :]
+    key = jnp.where(kept, rank, c + rank)
+    order = jnp.argsort(key, axis=1)
+    packed = jnp.take_along_axis(cand_ids, order, axis=1)[:, :m_out]
+    pos = jnp.arange(m_out, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < n_kept[:, None], packed, -1)
+
+
+def _group_ranks(tgt: jax.Array, dist: jax.Array) -> jax.Array:
+    """Rank of each edge request within its target group, closest first.
+
+    tgt [P] (-1 = inactive, ranked into their own trailing group),
+    dist [P]. Returns rank [P] (0 = closest request for that target).
+    """
+    p = tgt.shape[0]
+    key_t = jnp.where(tgt >= 0, tgt, jnp.int32(2**30))
+    ord1 = jnp.argsort(dist, stable=True)
+    t1 = jnp.take(key_t, ord1)
+    ord2 = jnp.argsort(t1, stable=True)
+    order = jnp.take(ord1, ord2)  # sorted by (target, dist)
+    ts = jnp.take(key_t, order)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ts[1:] != ts[:-1]]
+    )
+    seg_start = lax.cummax(jnp.where(is_start, pos, 0))
+    rank_sorted = pos - seg_start
+    rank = jnp.zeros((p,), jnp.int32).at[order].set(rank_sorted)
+    return rank
+
+
+def _apply_backlinks(
+    table: jax.Array,  # [T, Mcap] neighbor table being amended
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    tgt: jax.Array,  # [P] target node id (must index `table` rows)
+    src: jax.Array,  # [P] new neighbor to add
+    act: jax.Array,  # [P] bool
+    tgt_row: jax.Array,  # [P] row index into table (== tgt for base layer,
+    #                       upper_slot[tgt] for upper layers)
+    metric: MetricKind,
+    r_rounds: int,
+) -> jax.Array:
+    """Append src into tgt's neighbor row with usearch's overflow pruning,
+    resolving same-target conflicts over ``r_rounds`` rounds."""
+    m_cap = table.shape[1]
+    t_vec = jnp.take(vectors, jnp.maximum(tgt, 0), axis=0)
+    t_sq = jnp.take(vec_sq, jnp.maximum(tgt, 0), axis=0)
+    s_d = gather_scores(vectors, vec_sq, src[:, None], t_vec, t_sq, metric)[:, 0]
+    ranks = _group_ranks(jnp.where(act, tgt, -1), s_d)
+
+    def round_fn(r, table):
+        sel = act & (ranks == r)
+        rows = jnp.take(table, jnp.maximum(tgt_row, 0), axis=0)  # [P, Mcap]
+        merged = jnp.concatenate([rows, src[:, None]], axis=1)  # [P, Mcap+1]
+        # drop duplicate src already present
+        dup = jnp.any(rows == src[:, None], axis=1)
+        m_valid = merged >= 0
+        m_valid = m_valid.at[:, -1].set(m_valid[:, -1] & ~dup)
+        d = gather_scores(vectors, vec_sq, merged, t_vec, t_sq, metric)
+        d = jnp.where(m_valid, d, INF_SCORE)
+        count = jnp.sum(m_valid, axis=1)
+
+        # sort merged ascending by distance to target
+        order = jnp.argsort(d, axis=1)
+        s_ids = jnp.take_along_axis(merged, order, axis=1)
+        s_d2 = jnp.take_along_axis(d, order, axis=1)
+        s_ids = jnp.where(s_d2 < INF_SCORE, s_ids, -1)
+
+        # overflow -> diversity prune (refine_), else plain append
+        pruned = select_diverse(vectors, vec_sq, s_ids, s_d2, m_cap, metric)
+        appended = s_ids[:, :m_cap]
+        new_rows = jnp.where((count > m_cap)[:, None], pruned, appended)
+
+        row_idx = jnp.where(sel, tgt_row, jnp.int32(2**30))  # drop inactive
+        return table.at[row_idx].set(new_rows, mode="drop")
+
+    return lax.fori_loop(0, r_rounds, round_fn, table)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
+                     "expand", "r_rounds"),
+    donate_argnums=(0,),
+)
+def insert_batch(
+    state: GraphState,
+    vectors: jax.Array,  # [cap, D] — already contains the new vectors
+    vec_sq: jax.Array,  # [cap]
+    new_slots: jax.Array,  # [B] int32 (-1 = inactive pad row)
+    new_levels: jax.Array,  # [B] int32 sampled levels
+    metric: MetricKind,
+    m: int,
+    m0: int,
+    ef_construction: int,
+    ef_upper: int = 32,
+    expand: int = 2,
+    r_rounds: int = 4,
+) -> tuple[GraphState, jax.Array]:
+    """Insert a batch of new nodes. Returns (state, n_dist counter).
+
+    Mirrors usearch add(): per level from the top —
+    search_to_insert_ (beam) -> refine_ (diversity selection) ->
+    connect_new_node_ (forward edges) -> reconnect_neighbor_nodes_
+    (back edges) — but for a whole batch at once.
+    """
+    b = new_slots.shape[0]
+    active = new_slots >= 0
+    safe_slots = jnp.maximum(new_slots, 0)
+    q = jnp.take(vectors, safe_slots, axis=0)
+    q_sq = jnp.take(vec_sq, safe_slots, axis=0)
+    new_levels = jnp.where(active, jnp.minimum(new_levels, L_MAX), -1)
+
+    # ---- allocate upper slots for nodes with level >= 1 -----------------
+    has_upper = active & (new_levels >= 1)
+    cap_u = state.upper_neighbors.shape[0]
+    u_off = jnp.cumsum(has_upper.astype(jnp.int32)) - 1
+    u_slot_new = jnp.where(has_upper, state.upper_count + u_off, -1)
+    u_slot_new = jnp.where(u_slot_new < cap_u, u_slot_new, -1)  # clamp full
+    upper_slot = state.upper_slot.at[
+        jnp.where(has_upper & (u_slot_new >= 0), new_slots, jnp.int32(2**30))
+    ].set(u_slot_new, mode="drop")
+    upper_node = state.upper_node.at[
+        jnp.where(u_slot_new >= 0, u_slot_new, jnp.int32(2**30))
+    ].set(new_slots, mode="drop")
+    n_upper = jnp.sum((u_slot_new >= 0).astype(jnp.int32))
+    # nodes that failed upper allocation fall back to level 0
+    new_levels = jnp.where(has_upper & (u_slot_new < 0), 0, new_levels)
+    levels = state.levels.at[
+        jnp.where(active, new_slots, jnp.int32(2**30))
+    ].set(new_levels, mode="drop")
+    state = state._replace(
+        upper_slot=upper_slot, upper_node=upper_node, levels=levels,
+        upper_count=state.upper_count + n_upper,
+    )
+
+    # ---- intra-batch peer candidates (restores within-batch reachability)
+    peer_k = min(16, b)
+    peer_s = _pairwise_scores(q[None], q_sq[None], metric)[0]  # [B, B]
+    self_mask = jnp.eye(b, dtype=jnp.bool_)
+    peer_s = jnp.where(self_mask | ~active[None, :] | ~active[:, None],
+                       INF_SCORE, peer_s)
+    _, peer_pos = lax.top_k(-peer_s, peer_k)
+    peer_ids = jnp.take(new_slots, peer_pos)  # [B, peer_k]
+    peer_levels = jnp.take(new_levels, peer_pos)
+
+    n_dist = jnp.int32(0)
+
+    # ---- phase A: upper levels L_MAX..1 (single traced-level beam) ------
+    seeds0 = jnp.broadcast_to(state.entry_node, (b,))[:, None]
+
+    def upper_level(i, carry):
+        seeds, upper_neighbors, n_dist = carry
+        lvl = L_MAX - i  # L_MAX .. 1
+        st = state._replace(upper_neighbors=upper_neighbors)
+        level_exists = lvl <= st.max_level
+        write_here = active & (new_levels >= lvl)
+        touch = level_exists | jnp.any(write_here)
+
+        peer_here = jnp.where(peer_levels >= lvl, peer_ids, -1)
+        seed_ids = jnp.concatenate([seeds, peer_here], axis=1)
+        scores, ids, nd = beam_search(
+            st, vectors, vec_sq, q, q_sq, seed_ids, ef_upper, metric,
+            level=lvl, expand=1, active=active & touch,
+        )
+        n_dist = n_dist + nd
+
+        sel = select_diverse(vectors, vec_sq, ids, scores, m, metric)
+        sel = jnp.where(write_here[:, None], sel, -1)
+        # forward edges: upper_neighbors[u_slot, lvl-1, :] = sel
+        row = jnp.where(write_here, jnp.take(st.upper_slot, safe_slots), -1)
+        row = jnp.where(row >= 0, row, jnp.int32(2**30))
+        upper_neighbors = upper_neighbors.at[row, lvl - 1].set(sel, mode="drop")
+
+        # back edges at this level: targets' rows live at upper_slot[tgt]
+        tgt = sel.reshape(-1)
+        src = jnp.repeat(new_slots, m)
+        act = (tgt >= 0) & (src >= 0)
+        tgt_uslot = jnp.where(
+            act, jnp.take(st.upper_slot, jnp.maximum(tgt, 0)), -1)
+        act = act & (tgt_uslot >= 0)
+        # flatten the [cap_u, L_MAX, M] level plane into a [cap_u*L_MAX, M]
+        # view so _apply_backlinks can scatter rows at a traced level.
+        flat = upper_neighbors.reshape(-1, m)
+        flat_row = tgt_uslot * L_MAX + (lvl - 1)
+        flat = _apply_backlinks(
+            flat, vectors, vec_sq, tgt, src, act,
+            jnp.where(act, flat_row, -1), metric, r_rounds,
+        )
+        upper_neighbors = flat.reshape(cap_u, L_MAX, m)
+
+        # seed next level with this level's beam results (fall back to seeds)
+        best = jnp.where(ids[:, :1] >= 0, ids[:, :1], seeds[:, :1])
+        next_seeds = jnp.where(level_exists | jnp.any(write_here), best,
+                               seeds[:, :1])
+        return next_seeds, upper_neighbors, n_dist
+
+    seeds, upper_neighbors, n_dist = lax.fori_loop(
+        0, L_MAX, upper_level, (seeds0, state.upper_neighbors, n_dist)
+    )
+    state = state._replace(upper_neighbors=upper_neighbors)
+
+    # ---- phase B: base layer ------------------------------------------
+    seed_ids = jnp.concatenate([seeds, peer_ids], axis=1)
+    scores, ids, nd = beam_search(
+        state, vectors, vec_sq, q, q_sq, seed_ids, ef_construction, metric,
+        level=0, expand=expand, active=active,
+    )
+    n_dist = n_dist + nd
+    sel = select_diverse(vectors, vec_sq, ids, scores, m0, metric)
+    sel = jnp.where(active[:, None], sel, -1)
+    neighbors0 = state.neighbors0.at[
+        jnp.where(active, new_slots, jnp.int32(2**30))
+    ].set(sel, mode="drop")
+
+    tgt = sel.reshape(-1)
+    src = jnp.repeat(new_slots, m0)
+    act = (tgt >= 0) & (src >= 0)
+    neighbors0 = _apply_backlinks(
+        neighbors0, vectors, vec_sq, tgt, src, act,
+        jnp.where(act, tgt, -1), metric, r_rounds,
+    )
+    state = state._replace(neighbors0=neighbors0)
+
+    # ---- entry point / max level update (index.hpp global_mutex_ analog)
+    batch_best = jnp.argmax(jnp.where(active, new_levels, -1))
+    batch_max = new_levels[batch_best]
+    promote = batch_max > state.max_level
+    state = state._replace(
+        entry_node=jnp.where(
+            promote, new_slots[batch_best], state.entry_node
+        ).astype(jnp.int32),
+        max_level=jnp.where(promote, batch_max, state.max_level).astype(
+            jnp.int32),
+    )
+    # first-ever batch: entry may still be unset if all levels were 0
+    need_entry = (state.entry_node < 0) & jnp.any(active)
+    first_active = jnp.argmax(active)
+    state = state._replace(
+        entry_node=jnp.where(
+            need_entry, new_slots[first_active], state.entry_node
+        ).astype(jnp.int32),
+        max_level=jnp.where(
+            need_entry, jnp.maximum(state.max_level, 0), state.max_level
+        ).astype(jnp.int32),
+    )
+    return state, n_dist

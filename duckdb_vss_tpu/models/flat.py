@@ -1,0 +1,211 @@
+"""Flat (brute-force) vector index — the HBM-resident array store.
+
+Replaces two things from the reference with one TPU-native structure:
+- DuckDB's brute-force TopN path over `array_distance` projections
+  (the vss_join/vss_match macro fallback,
+  /root/reference/src/hnsw/hnsw_index_macros.cpp:10-75), and
+- usearch's slot-addressed vector store (vectors_lookup_ /
+  vectors_tape_allocator_, /root/reference/src/include/usearch/
+  index_dense.hpp:380-385) with its key<->slot maps and deleted-slot
+  free-list ring (index_dense.hpp:422-435).
+
+Layout: one dense [capacity, D_pad] f32 block in HBM plus per-slot squared
+norms (cached for the matmul-expansion distance epilogue), a validity mask
+(deletes are tombstones, searched-around exactly like usearch's free_key_
+predicate, index_dense.hpp:1797-1827), and an int64 slot->key table.
+Capacity grows by powers of two, mirroring the reference's optimistic
+resize (/root/reference/src/hnsw/hnsw_index.cpp:410-431); power-of-two
+capacities keep the set of distinct jit shapes bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_vss_tpu.ops.topk import flat_topk
+from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.padding import INF_SCORE, pad_2d_np, pad_dim, round_up
+
+MIN_CAPACITY = 1024
+DEFAULT_BLOCK_N = 16384
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
+def _search_jit(queries, vectors, vec_sq, valid, k, metric, block_n):
+    scores, slots = flat_topk(
+        queries, vectors, k, metric, vec_sq=vec_sq, valid=valid, block_n=block_n
+    )
+    # mark missing results inside the jit boundary: one device round-trip total
+    slots = jnp.where(scores >= INF_SCORE, -1, slots)
+    return scores, slots
+
+
+class FlatIndex:
+    """Mutable flat index over row-keyed float vectors."""
+
+    def __init__(self, dims: int, metric: MetricKind = MetricKind.L2SQ,
+                 capacity: int = MIN_CAPACITY):
+        self.dims = int(dims)
+        self.d_pad = pad_dim(self.dims)
+        self.metric = metric
+        self.capacity = max(MIN_CAPACITY, 1 << (int(capacity) - 1).bit_length())
+        self._vectors = jnp.zeros((self.capacity, self.d_pad), jnp.float32)
+        self._vec_sq = jnp.zeros((self.capacity,), jnp.float32)
+        self._valid = jnp.zeros((self.capacity,), jnp.bool_)
+        # slot -> key map lives host-side: rowids are 64-bit and the mapping
+        # is outside the hot compute path (device returns slots, host maps).
+        self._keys = np.full((self.capacity,), -1, np.int64)
+        self._key_to_slot: dict[int, int] = {}
+        self._free_slots: list[int] = []
+        self._next_slot = 0
+        self.size = 0
+
+    # -- capacity ---------------------------------------------------------
+
+    def reserve(self, n: int) -> None:
+        """Grow capacity to at least n (power of two), like the reference's
+        exclusive-lock resize (/root/reference/src/hnsw/hnsw_index.cpp:410-431)."""
+        if n <= self.capacity:
+            return
+        new_cap = 1 << (int(n) - 1).bit_length()
+        pad = new_cap - self.capacity
+        self._vectors = jnp.concatenate(
+            [self._vectors, jnp.zeros((pad, self.d_pad), jnp.float32)])
+        self._vec_sq = jnp.concatenate([self._vec_sq, jnp.zeros((pad,), jnp.float32)])
+        self._valid = jnp.concatenate([self._valid, jnp.zeros((pad,), jnp.bool_)])
+        self._keys = np.concatenate([self._keys, np.full((pad,), -1, np.int64)])
+        self.capacity = new_cap
+
+    # -- mutation ---------------------------------------------------------
+
+    def add(self, vectors: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Bulk insert; reuses tombstoned slots first (free-list pop,
+        index_dense.hpp:1748-1794). Returns the slot ids assigned."""
+        vectors = np.asarray(vectors, np.float32)
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        n = vectors.shape[0]
+        assert vectors.shape == (n, self.dims), vectors.shape
+        slots = np.empty((n,), np.int64)
+        n_reuse = min(len(self._free_slots), n)
+        for i in range(n_reuse):
+            slots[i] = self._free_slots.pop()
+        fresh = n - n_reuse
+        if fresh:
+            self.reserve(self._next_slot + fresh)
+            slots[n_reuse:] = np.arange(self._next_slot, self._next_slot + fresh)
+            self._next_slot += fresh
+        for k_, s_ in zip(keys.tolist(), slots.tolist()):
+            if k_ in self._key_to_slot:
+                raise ValueError(f"duplicate key {k_}")
+            self._key_to_slot[k_] = s_
+
+        vec_pad = pad_2d_np(vectors, n, self.d_pad)
+        if self.size == 0 and n_reuse == 0 and slots[0] == 0:
+            # bulk load into an empty index: build the device arrays straight
+            # from host buffers (no scatter, no full-array device copy)
+            host_vec = np.zeros((self.capacity, self.d_pad), np.float32)
+            host_vec[:n] = vec_pad
+            self._vectors = jnp.asarray(host_vec)
+            self._vec_sq = jnp.asarray((host_vec * host_vec).sum(-1))
+            valid_np = np.zeros((self.capacity,), np.bool_)
+            valid_np[:n] = True
+            self._valid = jnp.asarray(valid_np)
+        else:
+            slots_j = jnp.asarray(slots, jnp.int32)
+            vec_j = jnp.asarray(vec_pad)
+            self._vectors = self._vectors.at[slots_j].set(vec_j)
+            self._vec_sq = self._vec_sq.at[slots_j].set(
+                jnp.sum(vec_j * vec_j, axis=-1))
+            self._valid = self._valid.at[slots_j].set(True)
+        self._keys[slots] = keys
+        self.size += n
+        return slots
+
+    def remove(self, keys: np.ndarray) -> int:
+        """Tombstone deletes: slot to free-list, mask from search
+        (index_dense.hpp:1228-1300)."""
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        slots = []
+        for k_ in keys.tolist():
+            s_ = self._key_to_slot.pop(k_, None)
+            if s_ is not None:
+                slots.append(s_)
+                self._free_slots.append(s_)
+        if slots:
+            slots_np = np.asarray(slots, np.int64)
+            self._valid = self._valid.at[jnp.asarray(slots_np, jnp.int32)].set(False)
+            self._keys[slots_np] = -1
+            self.size -= len(slots)
+        return len(slots)
+
+    def compact(self) -> None:
+        """Pack live slots to the front (analog of index_dense compact(),
+        index_dense.hpp:1478-1496 — trivial here, no graph to remap)."""
+        valid = np.asarray(self._valid)
+        live = np.nonzero(valid)[0]
+        perm = jnp.asarray(live, jnp.int32)
+        n_live = len(live)
+        new_cap = max(MIN_CAPACITY, 1 << max(n_live - 1, 0).bit_length())
+        vecs = jnp.zeros((new_cap, self.d_pad), jnp.float32)
+        self._vectors = vecs.at[: n_live].set(self._vectors[perm])
+        self._vec_sq = jnp.zeros((new_cap,), jnp.float32).at[:n_live].set(
+            self._vec_sq[perm])
+        self._valid = jnp.zeros((new_cap,), jnp.bool_).at[:n_live].set(True)
+        keys_np = self._keys[live]
+        self._keys = np.full((new_cap,), -1, np.int64)
+        self._keys[:n_live] = keys_np
+        self._key_to_slot = {int(k): i for i, k in enumerate(keys_np.tolist())}
+        self._free_slots = []
+        self._next_slot = n_live
+        self.capacity = new_cap
+
+    # -- search -----------------------------------------------------------
+
+    def prepare_queries(self, queries: np.ndarray) -> jax.Array:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        b, d = queries.shape
+        assert d == self.dims, (d, self.dims)
+        b_pad = round_up(max(b, 1), 8)
+        return jnp.asarray(pad_2d_np(queries, b_pad, self.d_pad))
+
+    def search_device(self, queries_padded: jax.Array, k: int,
+                      block_n: int = DEFAULT_BLOCK_N
+                      ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident search (no host transfer): (scores, slots)."""
+        eff_block = block_n if self.capacity % block_n == 0 else self.capacity
+        return _search_jit(
+            queries_padded, self._vectors, self._vec_sq, self._valid, int(k),
+            self.metric, eff_block)
+
+    def search(self, queries: np.ndarray, k: int,
+               block_n: int = DEFAULT_BLOCK_N) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k by index metric. Returns (scores [B, k], keys [B, k]);
+        missing results (k > live size) have key -1 and score INF_SCORE."""
+        b = 1 if np.asarray(queries).ndim == 1 else np.asarray(queries).shape[0]
+        q = self.prepare_queries(queries)
+        eff_block = block_n if self.capacity % block_n == 0 else self.capacity
+        scores, slots = _search_jit(
+            q, self._vectors, self._vec_sq, self._valid, int(k), self.metric,
+            eff_block)
+        # exactly one D2H round trip (tunnel latency dominates small calls),
+        # then slice/map on host
+        scores_np, slots_np = jax.device_get((scores, slots))
+        slots_np = slots_np[:b]
+        keys = np.where(slots_np >= 0, self._keys[np.maximum(slots_np, 0)],
+                        np.int64(-1))
+        return scores_np[:b], keys
+
+    # -- introspection ----------------------------------------------------
+
+    def get_vector(self, key: int) -> np.ndarray:
+        slot = self._key_to_slot[int(key)]
+        return np.asarray(self._vectors[slot, : self.dims])
+
+    def __len__(self) -> int:
+        return self.size

@@ -1,0 +1,399 @@
+"""TPU-native HNSW graph: structure-of-arrays layout + beam-batched search.
+
+The reference's graph is usearch's node tape
+[key | level | {count, slot x M} ... per level]
+(/root/reference/src/include/usearch/index.hpp:1816-1843) traversed one
+node at a time with a candidate heap (search_to_find_in_base_,
+index.hpp:3503-3573). The TPU re-design replaces pointer-chasing with
+dense arrays and masked, fixed-shape batch operations:
+
+- base layer adjacency is one [cap, M0] int32 table (sentinel -1);
+- upper layers (a ~1/M fraction of nodes) live in a compacted
+  [cap_u, L_MAX, M] table addressed through an upper-slot indirection;
+- traversal processes a whole batch of queries per step: the beam's best
+  unexpanded nodes are expanded together, their neighbor lists gathered
+  as one [B, E*M] index block, distances computed as one batched
+  matvec/matmul, and the beam updated with one masked top-k merge;
+- the candidate heap becomes a sorted top-ef selection (lax.top_k);
+- the visited set is implicit: the beam keeps the best ef of everything
+  ever scored, so an evicted node can never re-enter (monotone top-ef),
+  and per-step dedup against the beam prevents re-expansion.
+
+Search quality semantics match usearch's ef-search: expand best
+unexpanded candidates until none can improve the top-ef set.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.padding import INF_SCORE
+
+# Static cap on levels above base. P(level >= 8) = M^-8 (~2e-10 at M=16);
+# usearch has no static cap but never materializes more in practice.
+L_MAX = 8
+
+# upper tables hold cap // UPPER_DIV slots; P(level >= 1) = 1/M = 1/16 for
+# the default M, so 1/4 gives 4x headroom (overflow levels are clamped).
+UPPER_DIV = 4
+
+_EPS = 1e-30
+
+
+class GraphState(NamedTuple):
+    """Device-resident HNSW graph (all static shapes)."""
+
+    neighbors0: jax.Array  # [cap, M0] int32, -1 padded
+    upper_neighbors: jax.Array  # [cap_u, L_MAX, M] int32, -1 padded
+    upper_slot: jax.Array  # [cap] int32; slot into upper tables, -1 if level 0
+    upper_node: jax.Array  # [cap_u] int32; owning node of an upper slot
+    levels: jax.Array  # [cap] int32; node level, -1 for unused slot
+    entry_node: jax.Array  # [] int32; -1 while empty
+    max_level: jax.Array  # [] int32; -1 while empty
+    upper_count: jax.Array  # [] int32; allocated upper slots
+
+    @property
+    def capacity(self) -> int:
+        return self.neighbors0.shape[0]
+
+
+def make_graph(cap: int, m: int, m0: int) -> GraphState:
+    cap_u = max(cap // UPPER_DIV, 64)
+    return GraphState(
+        neighbors0=jnp.full((cap, m0), -1, jnp.int32),
+        upper_neighbors=jnp.full((cap_u, L_MAX, m), -1, jnp.int32),
+        upper_slot=jnp.full((cap,), -1, jnp.int32),
+        upper_node=jnp.full((cap_u,), -1, jnp.int32),
+        levels=jnp.full((cap,), -1, jnp.int32),
+        entry_node=jnp.int32(-1),
+        max_level=jnp.int32(-1),
+        upper_count=jnp.int32(0),
+    )
+
+
+def grow_graph(state: GraphState, new_cap: int) -> GraphState:
+    """Host-side capacity growth (analog of reserve/resize)."""
+    cap = state.capacity
+    if new_cap <= cap:
+        return state
+    cap_u = state.upper_neighbors.shape[0]
+    new_cap_u = max(new_cap // UPPER_DIV, 64)
+    m0 = state.neighbors0.shape[1]
+    m = state.upper_neighbors.shape[2]
+
+    def pad(arr, rows, fill):
+        extra = jnp.full((rows - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
+        return jnp.concatenate([arr, extra])
+
+    return state._replace(
+        neighbors0=pad(state.neighbors0, new_cap, -1),
+        upper_neighbors=pad(state.upper_neighbors, new_cap_u, -1),
+        upper_slot=pad(state.upper_slot, new_cap, -1),
+        upper_node=pad(state.upper_node, new_cap_u, -1),
+        levels=pad(state.levels, new_cap, -1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distance helpers for gathered candidate sets
+# ---------------------------------------------------------------------------
+
+
+def gather_scores(
+    vectors: jax.Array,  # [cap, D]
+    vec_sq: jax.Array,  # [cap]
+    ids: jax.Array,  # [B, C] int32 (may contain -1; clipped, mask separately)
+    queries: jax.Array,  # [B, D]
+    q_sq: jax.Array,  # [B]
+    metric: MetricKind,
+    precision=lax.Precision.DEFAULT,
+) -> jax.Array:
+    """Index-metric scores of gathered candidates: [B, C]."""
+    safe = jnp.maximum(ids, 0)
+    vecs = jnp.take(vectors, safe, axis=0)  # [B, C, D]
+    dot = lax.dot_general(
+        vecs,
+        queries,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [B, C]
+    if metric == MetricKind.IP:
+        return 1.0 - dot
+    v_sq = jnp.take(vec_sq, safe, axis=0)
+    if metric == MetricKind.L2SQ:
+        return jnp.maximum(q_sq[:, None] - 2.0 * dot + v_sq, 0.0)
+    if metric == MetricKind.COSINE:
+        denom = jnp.sqrt(q_sq[:, None] * v_sq)
+        cos = dot / jnp.maximum(denom, _EPS)
+        score = 1.0 - cos
+        score = jnp.where((q_sq[:, None] <= 0.0) | (v_sq <= 0.0), 1.0, score)
+        score = jnp.where((q_sq[:, None] <= 0.0) & (v_sq <= 0.0), 0.0, score)
+        return score
+    raise ValueError(f"unknown metric {metric}")
+
+
+def fetch_upper_neighbors(state: GraphState, ids: jax.Array, level) -> jax.Array:
+    """Neighbor lists of ``ids`` at upper ``level`` (1-based): [..., M]."""
+    slot = jnp.take(state.upper_slot, jnp.maximum(ids, 0), axis=0)
+    has = (ids >= 0) & (slot >= 0)
+    nbrs = jnp.take(
+        state.upper_neighbors, jnp.maximum(slot, 0), axis=0
+    )  # [..., L_MAX, M]
+    lvl_idx = jnp.clip(level - 1, 0, L_MAX - 1)
+    nbrs = jnp.take_along_axis(
+        nbrs,
+        jnp.broadcast_to(
+            jnp.asarray(lvl_idx, jnp.int32),
+            nbrs.shape[:-2] + (1, nbrs.shape[-1]),
+        ),
+        axis=-2,
+    ).squeeze(-2)
+    return jnp.where(has[..., None], nbrs, -1)
+
+
+# ---------------------------------------------------------------------------
+# greedy upper-level descent (search_for_one_, index.hpp:3383-3422)
+# ---------------------------------------------------------------------------
+
+
+def greedy_descent(
+    state: GraphState,
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    queries: jax.Array,  # [B, D]
+    q_sq: jax.Array,
+    stop_level: jax.Array,  # [B] int32: descend while level > stop_level
+    metric: MetricKind,
+    max_iters_per_level: int = 64,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy 1-NN walk from the entry point down to stop_level+1.
+
+    Returns (cur_node [B], cur_score [B], n_dist []). Queries whose
+    stop_level >= max_level start at the entry untouched.
+    """
+    b = queries.shape[0]
+    entry = jnp.broadcast_to(state.entry_node, (b,))
+    cur = entry
+    cur_score = jnp.where(
+        entry >= 0,
+        gather_scores(vectors, vec_sq, entry[:, None], queries, q_sq, metric)[:, 0],
+        INF_SCORE,
+    )
+    n_dist = jnp.int32(b)
+
+    def level_body(lvl_from_top, carry):
+        cur, cur_score, n_dist = carry
+        lvl = state.max_level - lvl_from_top  # descend max_level..1
+        active_lvl = (lvl >= 1) & (lvl <= state.max_level)
+
+        def step(loop_carry):
+            cur, cur_score, moved, n_dist, _it = loop_carry
+            nbrs = fetch_upper_neighbors(state, cur, lvl)  # [B, M]
+            valid = nbrs >= 0
+            s = gather_scores(vectors, vec_sq, nbrs, queries, q_sq, metric)
+            s = jnp.where(valid, s, INF_SCORE)
+            best_pos = jnp.argmin(s, axis=1)
+            best_s = jnp.take_along_axis(s, best_pos[:, None], 1)[:, 0]
+            best_id = jnp.take_along_axis(nbrs, best_pos[:, None], 1)[:, 0]
+            active_q = active_lvl & (lvl > stop_level) & (cur >= 0)
+            improve = active_q & (best_s < cur_score)
+            cur = jnp.where(improve, best_id, cur)
+            cur_score = jnp.where(improve, best_s, cur_score)
+            n_dist = n_dist + jnp.sum(valid & active_q[..., None].astype(bool))
+            return cur, cur_score, jnp.any(improve), n_dist, _it + 1
+
+        def cond(loop_carry):
+            _, _, moved, _, it = loop_carry
+            return moved & (it < max_iters_per_level)
+
+        cur, cur_score, _, n_dist, _ = lax.while_loop(
+            cond, step, (cur, cur_score, jnp.bool_(True), n_dist, jnp.int32(0))
+        )
+        return cur, cur_score, n_dist
+
+    cur, cur_score, n_dist = lax.fori_loop(
+        0, L_MAX, level_body, (cur, cur_score, n_dist)
+    )
+    return cur, cur_score, n_dist
+
+
+# ---------------------------------------------------------------------------
+# beam search at one level (search_to_insert_ / search_to_find_in_base_)
+# ---------------------------------------------------------------------------
+
+
+def beam_search(
+    state: GraphState,
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    queries: jax.Array,  # [B, D]
+    q_sq: jax.Array,  # [B]
+    entry_nodes: jax.Array,  # [B, P] int32 seeds (-1 allowed)
+    ef: int,
+    metric: MetricKind,
+    level=0,  # 0 = base layer; >0 = upper layer (may be traced)
+    expand: int = 2,  # E: beam entries expanded per step
+    max_steps: int | None = None,
+    active: jax.Array | None = None,  # [B] bool; inactive queries do nothing
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched best-first beam search. Returns (scores [B, ef] ascending,
+    ids [B, ef], n_dist []). Tombstones are NOT filtered here (matches
+    usearch: the filter predicate applies to results, not traversal).
+    """
+    b, p = entry_nodes.shape
+    base = isinstance(level, int) and level == 0
+    if max_steps is None:
+        max_steps = 3 * ef // expand + 8
+    if active is None:
+        active = jnp.ones((b,), jnp.bool_)
+
+    # init beam from entry points
+    seed_valid = (entry_nodes >= 0) & active[:, None]
+    seed_s = gather_scores(vectors, vec_sq, entry_nodes, queries, q_sq, metric)
+    seed_s = jnp.where(seed_valid, seed_s, INF_SCORE)
+    # dedup seeds (same entry may be given twice)
+    dup = jnp.triu(
+        entry_nodes[:, :, None] == entry_nodes[:, None, :], k=1
+    ).any(axis=1)
+    seed_s = jnp.where(dup, INF_SCORE, seed_s)
+
+    pad_n = ef - p if ef > p else 0
+    scores = jnp.concatenate(
+        [seed_s, jnp.full((b, pad_n), INF_SCORE, jnp.float32)], axis=1
+    ) if pad_n else seed_s
+    ids = jnp.concatenate(
+        [jnp.where(seed_valid, entry_nodes, -1),
+         jnp.full((b, pad_n), -1, jnp.int32)], axis=1
+    ) if pad_n else jnp.where(seed_valid, entry_nodes, -1)
+    if p > ef:
+        neg, pos = lax.top_k(-scores, ef)
+        scores, ids = -neg, jnp.take_along_axis(ids, pos, axis=1)
+    expanded = jnp.zeros((b, ef), jnp.bool_)
+    n_dist = jnp.sum(seed_valid.astype(jnp.int32))
+
+    beam_pos = jnp.arange(ef, dtype=jnp.int32)
+
+    def fetch(sel_ids):
+        if base:
+            has = sel_ids >= 0
+            nbrs = jnp.take(state.neighbors0, jnp.maximum(sel_ids, 0), axis=0)
+            return jnp.where(has[..., None], nbrs, -1)
+        return fetch_upper_neighbors(state, sel_ids, level)
+
+    def step(carry):
+        scores, ids, expanded, n_dist, it, _ = carry
+        # select E best unexpanded candidates
+        sel_key = jnp.where(expanded | (scores >= INF_SCORE), INF_SCORE, scores)
+        neg_sel, sel_pos = lax.top_k(-sel_key, expand)  # [B, E]
+        sel_live = (-neg_sel) < INF_SCORE
+        sel_ids = jnp.where(
+            sel_live, jnp.take_along_axis(ids, sel_pos, axis=1), -1
+        )
+        # mark expanded
+        hit = jnp.any(
+            (beam_pos[None, None, :] == sel_pos[:, :, None]) & sel_live[..., None],
+            axis=1,
+        )
+        expanded = expanded | hit
+
+        nbrs = fetch(sel_ids).reshape(b, -1)  # [B, E*M]
+        valid = (nbrs >= 0) & active[:, None]
+        # dedup against beam
+        in_beam = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
+        # dedup within the new candidate block (keep first occurrence)
+        dup_new = jnp.triu(
+            nbrs[:, :, None] == nbrs[:, None, :], k=1
+        ).any(axis=1)
+        keep = valid & ~in_beam & ~dup_new
+
+        s = gather_scores(vectors, vec_sq, nbrs, queries, q_sq, metric)
+        s = jnp.where(keep, s, INF_SCORE)
+        n_dist = n_dist + jnp.sum(keep.astype(jnp.int32))
+
+        # merge into beam: top-ef of (beam ∪ new)
+        cat_s = jnp.concatenate([scores, s], axis=1)
+        cat_i = jnp.concatenate([ids, jnp.where(keep, nbrs, -1)], axis=1)
+        cat_e = jnp.concatenate(
+            [expanded, jnp.zeros_like(keep)], axis=1
+        )
+        neg_top, pos = lax.top_k(-cat_s, ef)
+        scores = -neg_top
+        ids = jnp.take_along_axis(cat_i, pos, axis=1)
+        expanded = jnp.take_along_axis(cat_e, pos, axis=1)
+
+        done = jnp.all(expanded | (scores >= INF_SCORE))
+        return scores, ids, expanded, n_dist, it + 1, done
+
+    def cond(carry):
+        *_, it, done = carry
+        return (~done) & (it < max_steps)
+
+    scores, ids, expanded, n_dist, _, _ = lax.while_loop(
+        cond,
+        step,
+        (scores, ids, expanded, n_dist, jnp.int32(0), jnp.bool_(False)),
+    )
+    return scores, ids, n_dist
+
+
+# ---------------------------------------------------------------------------
+# full search (descent + base beam + tombstone filter + exact rerank)
+# ---------------------------------------------------------------------------
+
+
+def search_graph(
+    state: GraphState,
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    valid_mask: jax.Array,  # [cap] bool; tombstone filter for RESULTS only
+    queries: jax.Array,  # [B, D] (padded)
+    k: int,
+    ef: int,
+    metric: MetricKind,
+    expand: int = 2,
+    max_steps: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """End-to-end ANN search. Returns (scores [B, k] ascending exact
+    index-metric values, ids [B, k] slot ids with -1 fill, n_dist [])."""
+    queries = queries.astype(jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1)
+    b = queries.shape[0]
+
+    stop_level = jnp.zeros((b,), jnp.int32)  # descend to level 1
+    cur, _, n_dist0 = greedy_descent(
+        state, vectors, vec_sq, queries, q_sq, stop_level, metric
+    )
+    ef_eff = max(ef, k)
+    scores, ids, n_dist1 = beam_search(
+        state,
+        vectors,
+        vec_sq,
+        queries,
+        q_sq,
+        cur[:, None],
+        ef_eff,
+        metric,
+        level=0,
+        expand=expand,
+        max_steps=max_steps,
+    )
+    # tombstone filter (usearch injects an `allow` predicate over results,
+    # index_dense.hpp:1797-1827) then exact rerank at HIGHEST precision so
+    # emitted distances/order match the reference's scalar f32 kernels.
+    live = jnp.take(valid_mask, jnp.maximum(ids, 0), axis=0) & (ids >= 0)
+    exact = gather_scores(
+        vectors, vec_sq, ids, queries, q_sq, metric,
+        precision=lax.Precision.HIGHEST,
+    )
+    exact = jnp.where(live & (scores < INF_SCORE), exact, INF_SCORE)
+    neg_top, pos = lax.top_k(-exact, k)
+    out_s = -neg_top
+    out_i = jnp.take_along_axis(ids, pos, axis=1)
+    out_i = jnp.where(out_s >= INF_SCORE, -1, out_i)
+    return out_s, out_i, n_dist0 + n_dist1

@@ -1,0 +1,110 @@
+"""Blockwise top-k selection over HBM-resident vector blocks.
+
+The reference's brute-force path is DuckDB's TopN operator over a scalar
+distance projection; its HNSW path materializes the whole k-result at scan
+init (/root/reference/src/hnsw/hnsw_index.cpp:285-326). The TPU equivalent
+streams [block_n, D] vector blocks through the MXU and keeps a running
+top-k accumulator, so the full [B, N] score matrix never hits HBM.
+
+All shapes are static; invalid/padded/deleted rows are masked to a large
+finite score (INF_SCORE) so they can never enter the result set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from duckdb_vss_tpu.ops.distance import score_matrix, sq_norms
+from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.padding import INF_SCORE
+
+
+def merge_topk(
+    scores_a: jax.Array,
+    ids_a: jax.Array,
+    scores_b: jax.Array,
+    ids_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two ascending candidate sets [B, ka] + [B, kb] -> best k.
+
+    Also the building block of the distributed top-k merge (shards
+    all-gather their local top-k and every host merges; see parallel/).
+    """
+    cat_s = jnp.concatenate([scores_a, scores_b], axis=1)
+    cat_i = jnp.concatenate([ids_a, ids_b], axis=1)
+    neg_top, pos = lax.top_k(-cat_s, k)
+    return -neg_top, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
+def flat_topk_dense(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int,
+    metric: MetricKind,
+    vec_sq: jax.Array | None = None,
+    valid: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-matmul top-k for small N: [B, D] x [N, D] -> ([B, k], [B, k])."""
+    s = score_matrix(queries, vectors, metric, vec_sq=vec_sq)
+    if valid is not None:
+        s = jnp.where(valid[None, :], s, INF_SCORE)
+    neg_top, ids = lax.top_k(-s, k)
+    return -neg_top, ids
+
+
+def flat_topk(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int,
+    metric: MetricKind,
+    vec_sq: jax.Array | None = None,
+    valid: jax.Array | None = None,
+    block_n: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming top-k: scan over [block_n, D] blocks with a running merge.
+
+    ``vectors`` must be [N, D] with N divisible by ``block_n`` (the store
+    guarantees this); returns ascending (scores [B, k], ids [B, k]).
+    """
+    n, d = vectors.shape
+    b = queries.shape[0]
+    if n <= block_n:
+        return flat_topk_dense(queries, vectors, k, metric, vec_sq, valid)
+    assert n % block_n == 0, (n, block_n)
+    nb = n // block_n
+
+    queries = queries.astype(jnp.float32)
+    q_sq = sq_norms(queries)
+    if vec_sq is None:
+        vec_sq = sq_norms(vectors)
+    if valid is None:
+        valid = jnp.ones((n,), dtype=jnp.bool_)
+
+    v_blocks = vectors.reshape(nb, block_n, d)
+    sq_blocks = vec_sq.reshape(nb, block_n)
+    valid_blocks = valid.reshape(nb, block_n)
+    offsets = jnp.arange(nb, dtype=jnp.int32) * block_n
+
+    kc = min(k, block_n)
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        v, sq, va, off = xs
+        s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq)
+        s = jnp.where(va[None, :], s, INF_SCORE)
+        neg_top, pos = lax.top_k(-s, kc)
+        blk_ids = pos.astype(jnp.int32) + off
+        best_s, best_i = merge_topk(best_s, best_i, -neg_top, blk_ids, k)
+        return (best_s, best_i), None
+
+    init = (
+        jnp.full((b, k), INF_SCORE, dtype=jnp.float32),
+        jnp.full((b, k), -1, dtype=jnp.int32),
+    )
+    (best_s, best_i), _ = lax.scan(
+        step, init, (v_blocks, sq_blocks, valid_blocks, offsets)
+    )
+    return best_s, best_i

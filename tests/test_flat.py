@@ -1,0 +1,108 @@
+"""Tests for the flat (brute-force) index: exact top-k parity with numpy,
+insert/delete tombstones, free-slot reuse, compaction, capacity growth.
+
+Differential-testing pattern follows the reference's indexed-vs-brute-force
+comparisons (test/sql/hnsw/hnsw_lateral_join.test) but here the flat index
+IS the brute force, so parity is exact.
+"""
+
+import numpy as np
+import pytest
+
+from duckdb_vss_tpu.models.flat import FlatIndex
+from duckdb_vss_tpu.utils.config import MetricKind
+from tests.test_distance import np_scores
+
+
+def brute_topk(q, v, keys, k, metric):
+    s = np_scores(q, v, metric)
+    order = np.argsort(s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, order, 1), keys[order]
+
+
+@pytest.mark.parametrize("metric", list(MetricKind))
+def test_flat_search_exact(rng, metric):
+    n, d, k = 500, 33, 10
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    keys = rng.permutation(n).astype(np.int64) * 7  # non-contiguous keys
+    q = rng.normal(size=(7, d)).astype(np.float32)
+    idx = FlatIndex(d, metric)
+    idx.add(v, keys)
+    scores, got_keys = idx.search(q, k)
+    want_s, want_k = brute_topk(q, v, keys, k, metric)
+    np.testing.assert_allclose(scores, want_s, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got_keys, want_k)
+
+
+def test_flat_blockwise_matches_dense(rng):
+    # force multi-block path: capacity 4096 with block_n 1024
+    n, d, k = 3000, 16, 25
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    keys = np.arange(n, dtype=np.int64)
+    idx = FlatIndex(d, MetricKind.L2SQ, capacity=4096)
+    idx.add(v, keys)
+    q = rng.normal(size=(5, d)).astype(np.float32)
+    s_blk, k_blk = idx.search(q, k, block_n=1024)
+    s_dense, k_dense = idx.search(q, k, block_n=1 << 20)
+    np.testing.assert_allclose(s_blk, s_dense, rtol=1e-5)
+    np.testing.assert_array_equal(np.sort(k_blk, 1), np.sort(k_dense, 1))
+
+
+def test_delete_tombstone_and_reuse(rng):
+    d = 8
+    idx = FlatIndex(d, MetricKind.L2SQ)
+    v = rng.normal(size=(20, d)).astype(np.float32)
+    idx.add(v, np.arange(20))
+    assert len(idx) == 20
+    # delete 5 rows; they must vanish from results
+    idx.remove(np.arange(5))
+    assert len(idx) == 15
+    q = v[:1]
+    _, keys = idx.search(q, 20)
+    live = set(keys[0][keys[0] >= 0].tolist())
+    assert live == set(range(5, 20))
+    # re-insert reuses tombstoned slots: capacity pointer must not advance
+    before = idx._next_slot
+    idx.add(rng.normal(size=(5, d)).astype(np.float32), np.arange(100, 105))
+    assert idx._next_slot == before
+    assert len(idx) == 20
+
+
+def test_missing_results_padded(rng):
+    idx = FlatIndex(4, MetricKind.L2SQ)
+    idx.add(rng.normal(size=(3, 4)).astype(np.float32), np.arange(3))
+    scores, keys = idx.search(np.zeros((1, 4), np.float32), 8)
+    assert (keys[0, :3] >= 0).all()
+    assert (keys[0, 3:] == -1).all()
+
+
+def test_compact_preserves_results(rng):
+    d = 12
+    idx = FlatIndex(d, MetricKind.COSINE)
+    v = rng.normal(size=(100, d)).astype(np.float32)
+    idx.add(v, np.arange(100))
+    idx.remove(np.arange(0, 100, 3))
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    s1, k1 = idx.search(q, 10)
+    idx.compact()
+    s2, k2 = idx.search(q, 10)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(k1, k2)
+    assert idx._next_slot == len(idx)
+
+
+def test_capacity_growth(rng):
+    idx = FlatIndex(8, MetricKind.L2SQ, capacity=1024)
+    v = rng.normal(size=(3000, 8)).astype(np.float32)
+    idx.add(v, np.arange(3000))
+    assert idx.capacity >= 3000
+    assert len(idx) == 3000
+    _, keys = idx.search(v[:2], 1)
+    np.testing.assert_array_equal(keys[:, 0], [0, 1])
+
+
+def test_duplicate_key_rejected(rng):
+    idx = FlatIndex(4, MetricKind.L2SQ)
+    idx.add(np.ones((1, 4), np.float32), [7])
+    with pytest.raises(ValueError):
+        idx.add(np.ones((1, 4), np.float32), [7])

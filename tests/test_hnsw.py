@@ -1,0 +1,165 @@
+"""HNSW index tests: recall vs brute force (the reference's approximate-
+tolerance pattern, hnsw_basic.test:26-31), CRUD + tombstones
+(hnsw_crud.test), compaction, graph invariants, metric variants
+(hnsw_metrics.test)."""
+
+import numpy as np
+import pytest
+
+from duckdb_vss_tpu.models.flat import FlatIndex
+from duckdb_vss_tpu.models.hnsw import HNSWIndex
+from duckdb_vss_tpu.utils.config import HNSWConfig, MetricKind
+
+
+def build_index(rng, n=2000, d=32, metric=MetricKind.L2SQ, **opts):
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    keys = np.arange(n, dtype=np.int64)
+    idx = HNSWIndex(d, HNSWConfig(metric=metric, **opts), capacity=n,
+                    build_batch=128)
+    idx.add(v, keys)
+    return idx, v, keys
+
+
+def recall_at_k(got_keys, want_keys):
+    hits = 0
+    for g, w in zip(got_keys, want_keys):
+        hits += len(set(g.tolist()) & set(w.tolist()))
+    return hits / want_keys.size
+
+
+@pytest.fixture(scope="module")
+def built(rng_mod=None):
+    rng = np.random.default_rng(7)
+    return build_index(rng), rng
+
+
+def test_recall_vs_brute_force(built):
+    (idx, v, keys), rng = built
+    q = rng.normal(size=(50, v.shape[1])).astype(np.float32)
+    flat = FlatIndex(v.shape[1], MetricKind.L2SQ, capacity=len(v))
+    flat.add(v, keys)
+    _, want = flat.search(q, 10)
+    _, got = idx.search(q, 10, ef=64)
+    r = recall_at_k(got, want)
+    assert r >= 0.90, f"recall@10 = {r}"
+
+
+def test_higher_ef_higher_recall(built):
+    (idx, v, keys), rng = built
+    q = rng.normal(size=(30, v.shape[1])).astype(np.float32)
+    flat = FlatIndex(v.shape[1], MetricKind.L2SQ, capacity=len(v))
+    flat.add(v, keys)
+    _, want = flat.search(q, 10)
+    _, got_lo = idx.search(q, 10, ef=16)
+    _, got_hi = idx.search(q, 10, ef=128)
+    assert recall_at_k(got_hi, want) >= recall_at_k(got_lo, want)
+    assert recall_at_k(got_hi, want) >= 0.95
+
+
+def test_exact_scores_emitted(built):
+    """Returned scores must be exact index-metric values (HIGHEST-precision
+    rerank), not traversal approximations."""
+    (idx, v, keys), rng = built
+    q = rng.normal(size=(5, v.shape[1])).astype(np.float32)
+    scores, got = idx.search(q, 5)
+    for b in range(5):
+        for j in range(5):
+            kk = got[b, j]
+            if kk < 0:
+                continue
+            want = ((q[b] - v[kk]) ** 2).sum()
+            np.testing.assert_allclose(scores[b, j], want, rtol=1e-4)
+
+
+def test_graph_invariants(built):
+    (idx, v, keys), _ = built
+    nb0 = np.asarray(idx.graph.neighbors0)
+    n = len(v)
+    live_rows = nb0[:n]
+    # ids in range
+    assert live_rows.max() < n
+    # no self edges
+    self_edge = (live_rows == np.arange(n)[:, None]) & (live_rows >= 0)
+    assert not self_edge.any()
+    # every live node has at least one neighbor (connectivity proxy)
+    assert ((live_rows >= 0).sum(axis=1) > 0).all()
+    # entry node is at max level
+    levels = np.asarray(idx.graph.levels)
+    entry = int(idx.graph.entry_node)
+    assert levels[entry] == int(idx.graph.max_level)
+
+
+@pytest.mark.parametrize("metric", [MetricKind.COSINE, MetricKind.IP])
+def test_metric_variants(metric):
+    rng = np.random.default_rng(11)
+    idx, v, keys = build_index(rng, n=1000, metric=metric)
+    q = rng.normal(size=(20, 32)).astype(np.float32)
+    flat = FlatIndex(32, metric, capacity=1000)
+    flat.add(v, keys)
+    _, want = flat.search(q, 10)
+    _, got = idx.search(q, 10, ef=96)
+    assert recall_at_k(got, want) >= 0.9
+
+
+def test_delete_then_search():
+    rng = np.random.default_rng(3)
+    idx, v, keys = build_index(rng, n=800)
+    q = v[:8] + 1e-3
+    _, got0 = idx.search(q, 1)
+    np.testing.assert_array_equal(got0[:, 0], np.arange(8))
+    idx.remove(np.arange(8))
+    _, got1 = idx.search(q, 5)
+    assert not (set(got1.ravel().tolist()) & set(range(8)))
+    assert len(idx) == 792
+
+
+def test_incremental_insert_after_build():
+    rng = np.random.default_rng(5)
+    idx, v, keys = build_index(rng, n=600)
+    extra = rng.normal(size=(64, 32)).astype(np.float32)
+    idx.add(extra, np.arange(10_000, 10_064))
+    # new vectors must be findable
+    _, got = idx.search(extra[:10], 1, ef=64)
+    found = (got[:, 0] >= 10_000).mean()
+    assert found >= 0.9, f"only {found} of new inserts found as own NN"
+
+
+def test_slot_reuse_relinks():
+    rng = np.random.default_rng(9)
+    idx, v, keys = build_index(rng, n=500)
+    idx.remove(np.arange(50))
+    before = idx.store._next_slot
+    nv = rng.normal(size=(50, 32)).astype(np.float32)
+    idx.add(nv, np.arange(20_000, 20_050))
+    assert idx.store._next_slot == before  # tombstoned slots reused
+    _, got = idx.search(nv[:10], 1, ef=64)
+    assert (got[:, 0] >= 20_000).mean() >= 0.9
+
+
+def test_compact_preserves_search():
+    rng = np.random.default_rng(13)
+    idx, v, keys = build_index(rng, n=700)
+    idx.remove(np.arange(0, 700, 7))
+    q = rng.normal(size=(20, 32)).astype(np.float32)
+    _, before = idx.search(q, 10, ef=96)
+    idx.compact()
+    _, after = idx.search(q, 10, ef=96)
+    # approximate indexes: compare overlap, not exact rows
+    overlap = recall_at_k(after, before)
+    assert overlap >= 0.9, f"post-compaction overlap {overlap}"
+    assert idx.store._next_slot == len(idx)
+    # stats still coherent
+    s = idx.stats()
+    assert s["count"] == len(idx)
+    assert s["levels"][0]["nodes"] == len(idx)
+
+
+def test_stats_shape(built):
+    (idx, v, keys), _ = built
+    s = idx.stats()
+    assert s["metric"] == "l2sq"
+    assert s["dimensions"] == 32
+    assert s["count"] == len(v)
+    assert s["max_level"] >= 0
+    assert s["build_distance_count"] > 0
+    assert isinstance(s["levels"], list) and s["levels"]
