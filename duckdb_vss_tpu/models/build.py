@@ -185,13 +185,7 @@ def _apply_backlinks(
     return lax.fori_loop(0, r_rounds, round_fn, table)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
-                     "expand", "r_rounds"),
-    donate_argnums=(0,),
-)
-def insert_batch(
+def insert_batch_impl(
     state: GraphState,
     vectors: jax.Array,  # [cap, D] — already contains the new vectors
     vec_sq: jax.Array,  # [cap]
@@ -353,3 +347,13 @@ def insert_batch(
         ).astype(jnp.int32),
     )
     return state, n_dist
+
+
+# jitted entry point used by HNSWIndex.add (single-shard path); the impl is
+# also called un-jitted inside shard_map for the sharded build (parallel/).
+insert_batch = functools.partial(
+    jax.jit,
+    static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
+                     "expand", "r_rounds"),
+    donate_argnums=(0,),
+)(insert_batch_impl)

@@ -1,0 +1,284 @@
+"""Index persistence through the native vss_store container.
+
+Python orchestrates (device -> host arrays, object reconstruction); the
+C++ library (native/vss_store.cpp) owns the on-disk format: sectioned
+container, 256 KiB checksummed blocks (LinkedBlock analog,
+/root/reference/src/hnsw/hnsw_index.cpp:15-114), mmap deferred-load read
+path (reference defers index load until first access, hnsw_index.cpp:192-206).
+
+Falls back to a pure-numpy .npz container if the shared library is
+missing (e.g. no toolchain) so persistence never hard-fails.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from duckdb_vss_tpu.utils.config import HNSWConfig, MetricKind
+
+_METRIC_CODE = {MetricKind.L2SQ: 0, MetricKind.COSINE: 1, MetricKind.IP: 2}
+_CODE_METRIC = {v: k for k, v in _METRIC_CODE.items()}
+
+
+class _FileHeader(ctypes.Structure):
+    _fields_ = [
+        ("magic", ctypes.c_uint64),
+        ("version", ctypes.c_uint32),
+        ("n_sections", ctypes.c_uint32),
+        ("metric", ctypes.c_uint32),
+        ("dims", ctypes.c_uint32),
+        ("d_pad", ctypes.c_uint32),
+        ("m", ctypes.c_uint32),
+        ("m0", ctypes.c_uint32),
+        ("ef_construction", ctypes.c_uint32),
+        ("ef_search", ctypes.c_uint32),
+        ("max_level", ctypes.c_int32),
+        ("entry_node", ctypes.c_int64),
+        ("count", ctypes.c_uint64),
+        ("capacity", ctypes.c_uint64),
+        ("cap_upper", ctypes.c_uint64),
+        ("upper_count", ctypes.c_uint64),
+        ("reserved", ctypes.c_uint64 * 4),
+    ]
+
+
+_LIB = None
+
+
+def _find_lib() -> str | None:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libvss_store.so"),
+        os.path.join(os.path.dirname(__file__), "libvss_store.so"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def get_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = _find_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.vss_writer_open.restype = ctypes.c_void_p
+    lib.vss_writer_open.argtypes = [ctypes.c_char_p,
+                                    ctypes.POINTER(_FileHeader)]
+    lib.vss_writer_section.restype = ctypes.c_int
+    lib.vss_writer_section.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p,
+        ctypes.c_uint64]
+    lib.vss_writer_close.restype = ctypes.c_int
+    lib.vss_writer_close.argtypes = [ctypes.c_void_p]
+    lib.vss_reader_open.restype = ctypes.c_void_p
+    lib.vss_reader_open.argtypes = [ctypes.c_char_p]
+    lib.vss_reader_header.restype = ctypes.POINTER(_FileHeader)
+    lib.vss_reader_header.argtypes = [ctypes.c_void_p]
+    lib.vss_reader_section.restype = ctypes.c_int64
+    lib.vss_reader_section.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.vss_reader_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+class PersistError(RuntimeError):
+    pass
+
+
+def save_index(index, path: str) -> None:
+    """Serialize an HNSWIndex (skips if not dirty, like PersistToDisk,
+    hnsw_index.cpp:514-517 — callers may force)."""
+    import jax
+
+    st = index.store
+    g = index.graph
+    cfg = index.config
+    arrays = {
+        "keys": np.ascontiguousarray(st._keys),
+        "valid": np.ascontiguousarray(
+            np.asarray(jax.device_get(st._valid)).astype(np.uint8)),
+        "vectors": np.ascontiguousarray(jax.device_get(st._vectors)),
+        "neighbors0": np.ascontiguousarray(jax.device_get(g.neighbors0)),
+        "upper_nbrs": np.ascontiguousarray(
+            jax.device_get(g.upper_neighbors)),
+        "upper_slot": np.ascontiguousarray(jax.device_get(g.upper_slot)),
+        "upper_node": np.ascontiguousarray(jax.device_get(g.upper_node)),
+        "levels": np.ascontiguousarray(jax.device_get(g.levels)),
+    }
+    meta = dict(
+        metric=_METRIC_CODE[cfg.metric],
+        dims=st.dims,
+        d_pad=st.d_pad,
+        m=cfg.m,
+        m0=cfg.m0,
+        ef_construction=cfg.ef_construction,
+        ef_search=cfg.ef_search,
+        max_level=int(jax.device_get(g.max_level)),
+        entry_node=int(jax.device_get(g.entry_node)),
+        count=st.size,
+        capacity=st.capacity,
+        cap_upper=g.upper_neighbors.shape[0],
+        upper_count=int(jax.device_get(g.upper_count)),
+    )
+    extra = dict(next_slot=st._next_slot,
+                 free_slots=np.asarray(st._free_slots, np.int64))
+    lib = get_lib()
+    if lib is None:
+        np.savez(path, __meta__=np.array([list(meta.values())], np.int64),
+                 __meta_keys__=np.array(list(meta.keys())),
+                 __next_slot__=np.int64(extra["next_slot"]),
+                 __free_slots__=extra["free_slots"], **arrays)
+        return
+    hdr = _FileHeader()
+    for k, v in meta.items():
+        setattr(hdr, k, v)
+    w = lib.vss_writer_open(path.encode(), ctypes.byref(hdr))
+    if not w:
+        raise PersistError(f"cannot open {path} for writing")
+    arrays["free_slots"] = extra["free_slots"]
+    arrays["next_slot"] = np.asarray([extra["next_slot"]], np.int64)
+    try:
+        for name, arr in arrays.items():
+            rc = lib.vss_writer_section(
+                w, name.encode(), 0,
+                arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes)
+            if rc != 0:
+                raise PersistError(f"write section {name} failed rc={rc}")
+    finally:
+        lib.vss_writer_close(w)
+    index.is_dirty = False
+
+
+def load_index(path: str):
+    """Reconstruct an HNSWIndex (reindex_keys_ analog rebuilds the
+    key->slot map + free list, index_dense.hpp:1901-1929)."""
+    import jax.numpy as jnp
+
+    from duckdb_vss_tpu.models.graph import GraphState, L_MAX
+    from duckdb_vss_tpu.models.hnsw import HNSWIndex
+
+    lib = get_lib()
+    if lib is None or not os.path.exists(path):
+        return _load_npz(path)
+    r = lib.vss_reader_open(path.encode())
+    if not r:
+        raise PersistError(f"cannot open {path} (missing or corrupt header)")
+    try:
+        # copy header fields immediately: .contents views memory owned by
+        # the reader handle and is freed by vss_reader_close
+        hptr = lib.vss_reader_header(r).contents
+        hdr = type("H", (), {
+            f: int(getattr(hptr, f)) for f, _ in _FileHeader._fields_
+            if f != "reserved"})
+        cap = int(hdr.capacity)
+        cap_u = int(hdr.cap_upper)
+        d_pad = int(hdr.d_pad)
+        cfg = HNSWConfig(
+            metric=_CODE_METRIC[int(hdr.metric)],
+            ef_construction=int(hdr.ef_construction),
+            ef_search=int(hdr.ef_search),
+            m=int(hdr.m),
+            m0=int(hdr.m0),
+        )
+
+        def read(name, dtype, shape):
+            arr = np.empty(shape, dtype)
+            got = lib.vss_reader_section(
+                r, name.encode(), arr.ctypes.data_as(ctypes.c_void_p),
+                arr.nbytes)
+            if got < 0:
+                raise PersistError(f"section {name}: rc={got} (corrupt?)")
+            if got != arr.nbytes:
+                raise PersistError(
+                    f"section {name}: size {got} != expected {arr.nbytes}")
+            return arr
+
+        keys = read("keys", np.int64, (cap,))
+        valid = read("valid", np.uint8, (cap,)).astype(bool)
+        vectors = read("vectors", np.float32, (cap, d_pad))
+        neighbors0 = read("neighbors0", np.int32, (cap, int(hdr.m0)))
+        upper_nbrs = read("upper_nbrs", np.int32,
+                          (cap_u, L_MAX, int(hdr.m)))
+        upper_slot = read("upper_slot", np.int32, (cap,))
+        upper_node = read("upper_node", np.int32, (cap_u,))
+        levels = read("levels", np.int32, (cap,))
+        n_free = lib.vss_reader_section(r, b"free_slots", None, 0) // 8
+        free_slots = read("free_slots", np.int64, (int(n_free),)) \
+            if n_free > 0 else np.zeros((0,), np.int64)
+        next_slot = int(read("next_slot", np.int64, (1,))[0])
+    finally:
+        lib.vss_reader_close(r)
+
+    idx = HNSWIndex(int(hdr.dims), cfg, capacity=cap)
+    st = idx.store
+    st._vectors = jnp.asarray(vectors)
+    st._vec_sq = jnp.sum(st._vectors * st._vectors, axis=-1)
+    st._valid = jnp.asarray(valid)
+    st._keys = keys
+    st._key_to_slot = {
+        int(k): i for i, k in enumerate(keys.tolist()) if k >= 0}
+    st._free_slots = [int(x) for x in free_slots.tolist()]
+    st._next_slot = next_slot
+    st.size = int(hdr.count)
+    idx.graph = GraphState(
+        neighbors0=jnp.asarray(neighbors0),
+        upper_neighbors=jnp.asarray(upper_nbrs),
+        upper_slot=jnp.asarray(upper_slot),
+        upper_node=jnp.asarray(upper_node),
+        levels=jnp.asarray(levels),
+        entry_node=jnp.int32(int(hdr.entry_node)),
+        max_level=jnp.int32(int(hdr.max_level)),
+        upper_count=jnp.int32(int(hdr.upper_count)),
+    )
+    idx.is_dirty = False
+    return idx
+
+
+def _load_npz(path: str):
+    import jax.numpy as jnp
+
+    from duckdb_vss_tpu.models.graph import GraphState
+    from duckdb_vss_tpu.models.hnsw import HNSWIndex
+
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if not os.path.exists(npz_path):
+        raise PersistError(f"no such checkpoint: {path}")
+    z = np.load(npz_path, allow_pickle=False)
+    meta = dict(zip([str(k) for k in z["__meta_keys__"]],
+                    z["__meta__"][0].tolist()))
+    cfg = HNSWConfig(
+        metric=_CODE_METRIC[int(meta["metric"])],
+        ef_construction=int(meta["ef_construction"]),
+        ef_search=int(meta["ef_search"]), m=int(meta["m"]),
+        m0=int(meta["m0"]))
+    idx = HNSWIndex(int(meta["dims"]), cfg, capacity=int(meta["capacity"]))
+    st = idx.store
+    st._vectors = jnp.asarray(z["vectors"])
+    st._vec_sq = jnp.sum(st._vectors * st._vectors, axis=-1)
+    st._valid = jnp.asarray(z["valid"].astype(bool))
+    st._keys = z["keys"].copy()
+    st._key_to_slot = {
+        int(k): i for i, k in enumerate(st._keys.tolist()) if k >= 0}
+    st._free_slots = [int(x) for x in z["__free_slots__"].tolist()]
+    st._next_slot = int(z["__next_slot__"])
+    st.size = int(meta["count"])
+    idx.graph = GraphState(
+        neighbors0=jnp.asarray(z["neighbors0"]),
+        upper_neighbors=jnp.asarray(z["upper_nbrs"]),
+        upper_slot=jnp.asarray(z["upper_slot"]),
+        upper_node=jnp.asarray(z["upper_node"]),
+        levels=jnp.asarray(z["levels"]),
+        entry_node=jnp.int32(int(meta["entry_node"])),
+        max_level=jnp.int32(int(meta["max_level"])),
+        upper_count=jnp.int32(int(meta["upper_count"])),
+    )
+    idx.is_dirty = False
+    return idx
