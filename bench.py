@@ -1,0 +1,127 @@
+"""Headline benchmark: SIFT1M-shaped HNSW build + top-10 search QPS/chip
+at matching recall@10 (BASELINE.json config #2).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Dataset: SIFT1M is not redistributable/fetchable in this zero-egress
+environment, so the workload is a synthetic SIFT-shaped instance:
+1M x 128 float32 with cluster structure (4096 centers, sigma 0.25)
+matching SIFT's low intrinsic dimensionality. Ground truth is computed
+exactly on-device with the flat MXU path.
+
+Baseline: the reference (duckdb_vss) publishes no numbers (BASELINE.md)
+and cannot be built here (no network, no duckdb wheel). vs_baseline uses
+a documented estimate of the reference's single-node SIFT1M top-10 QPS:
+10,000 QPS (usearch-class CPU HNSW, all cores, recall~0.95 — generous to
+the reference; DuckDB adds per-query SQL overhead on top). See
+BASELINE.md for the measurement plan once a reference build is available.
+
+Env knobs: DVT_BENCH_N (default 1_000_000), DVT_BENCH_Q (default 4096),
+DVT_BENCH_BUILD_BATCH (default 1024).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_QPS_ESTIMATE = 10_000.0  # documented estimate, see module docstring
+TARGET_RECALL = 0.95
+
+
+def make_data(rng, n, d, n_centers=4096, sigma=0.25, chunk=200_000):
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    out = np.empty((n, d), np.float32)
+    for off in range(0, n, chunk):
+        m = min(chunk, n - off)
+        asg = rng.integers(0, n_centers, m)
+        out[off:off + m] = centers[asg] + sigma * rng.normal(
+            size=(m, d)).astype(np.float32)
+    return out, centers
+
+
+def recall_at_k(got, want):
+    hits = sum(len(set(g) & set(w)) for g, w in zip(got.tolist(),
+                                                    want.tolist()))
+    return hits / want.size
+
+
+def main():
+    from duckdb_vss_tpu import HNSWConfig, MetricKind
+    from duckdb_vss_tpu.models.flat import FlatIndex
+    from duckdb_vss_tpu.models.hnsw import HNSWIndex
+
+    n = int(os.environ.get("DVT_BENCH_N", 1_000_000))
+    nq = int(os.environ.get("DVT_BENCH_Q", 4096))
+    bb = int(os.environ.get("DVT_BENCH_BUILD_BATCH", 1024))
+    d, k = 128, 10
+    rng = np.random.default_rng(1234)
+
+    t0 = time.time()
+    vecs, centers = make_data(rng, n, d)
+    q = (centers[rng.integers(0, len(centers), nq)]
+         + 0.25 * rng.normal(size=(nq, d)).astype(np.float32))
+    gen_s = time.time() - t0
+
+    # exact ground truth on-device (subset of queries for recall)
+    n_gt = min(nq, 1000)
+    flat = FlatIndex(d, MetricKind.L2SQ, capacity=n)
+    flat.add(vecs, np.arange(n))
+    t0 = time.time()
+    _, gt = flat.search(q[:n_gt], k)
+    gt_s = time.time() - t0
+
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=bb,
+                    build_expand=2)
+    t0 = time.time()
+    idx.add(vecs, np.arange(n))
+    build_s = time.time() - t0
+    build_vps = n / build_s
+
+    # pick the cheapest ef meeting the recall target
+    chosen = None
+    for ef in (32, 48, 64, 96, 128, 192, 256):
+        _, got = idx.search(q[:n_gt], k, ef=ef)
+        r = recall_at_k(got, gt)
+        print(f"# ef={ef}: recall@10={r:.4f}", file=sys.stderr, flush=True)
+        if r >= TARGET_RECALL:
+            chosen = (ef, r)
+            break
+        chosen = (ef, r)  # keep the best seen even if below target
+    ef, rec = chosen
+
+    # throughput at the chosen operating point (batched, steady state)
+    idx.search(q, k, ef=ef)  # warm
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        idx.search(q, k, ef=ef)
+    qps = nq * iters / (time.time() - t0)
+
+    result = {
+        "metric": "sift1m_shaped_top10_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / REFERENCE_QPS_ESTIMATE, 3),
+        "recall_at_10": round(rec, 4),
+        "ef_search": ef,
+        "build_vectors_per_s": round(build_vps, 1),
+        "build_seconds": round(build_s, 1),
+        "n": n,
+        "dims": d,
+        "query_batch": nq,
+        "notes": ("synthetic SIFT-shaped 1Mx128 clustered; baseline is a "
+                  "documented 10k QPS estimate for the CPU reference"),
+        "gen_seconds": round(gen_s, 1),
+        "gt_seconds": round(gt_s, 1),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -351,9 +351,11 @@ def insert_batch_impl(
 
 # jitted entry point used by HNSWIndex.add (single-shard path); the impl is
 # also called un-jitted inside shard_map for the sharded build (parallel/).
+# NOTE: no donate_argnums — donated-buffer executables are not serialized
+# into the persistent compilation cache on the TPU backend, and the
+# multi-minute remote compile dwarfs the copy overhead donation saves.
 insert_batch = functools.partial(
     jax.jit,
     static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
                      "expand", "r_rounds"),
-    donate_argnums=(0,),
 )(insert_batch_impl)

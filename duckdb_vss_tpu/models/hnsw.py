@@ -54,12 +54,14 @@ class HNSWIndex:
         capacity: int = 1024,
         seed: int = 0x5EED,
         build_batch: int = DEFAULT_BUILD_BATCH,
+        build_expand: int = 2,
     ):
         self.config = config or HNSWConfig()
         self.store = FlatIndex(dims, self.config.metric, capacity)
         self.graph = make_graph(
             self.store.capacity, self.config.m, self.config.m0)
         self.build_batch = int(build_batch)
+        self.build_expand = int(build_expand)
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -127,6 +129,7 @@ class HNSWIndex:
                 cfg.m,
                 cfg.m0,
                 cfg.ef_construction,
+                expand=self.build_expand,
             )
             nd_total = nd_total + nd
         self.build_distance_count += int(jax.device_get(nd_total))

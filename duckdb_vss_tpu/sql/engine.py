@@ -585,3 +585,98 @@ def explain_knn_join(db: Database, left: Table, right: Table, left_col: str,
     outer = P.PhysicalSeqScan(table=left)
     scan.children = [outer]
     return P.PhysicalProjection(children=[scan], exprs=[]).explain()
+
+
+# ---------------------------------------------------------------------------
+# database checkpoint / restart (§3.5 analog at engine level)
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_database(db: Database, directory: str | None = None) -> str:
+    """CHECKPOINT: persist tables (npz) + dirty indexes (native container,
+    dirty-flag gated like PersistToDisk, hnsw_index.cpp:514-517)."""
+    import json
+    import os as _os
+
+    from duckdb_vss_tpu.utils import persist as _persist
+
+    directory = directory or db.path
+    if directory is None:
+        raise BinderError("in-memory database: pass a directory to checkpoint")
+    if not db.settings["hnsw_enable_experimental_persistence"] and db.indexes:
+        raise BinderError(
+            "set 'hnsw_enable_experimental_persistence' to checkpoint HNSW "
+            "indexes")
+    _os.makedirs(directory, exist_ok=True)
+    catalog = {"tables": {}, "indexes": {}}
+    for tname, t in db.tables.items():
+        cols = {}
+        arrays = {}
+        for c, ty in t.columns.items():
+            if isinstance(ty, VectorType):
+                cols[c] = ["FLOAT", ty.dims]
+                mat = np.full((len(t._live), ty.dims), np.nan, np.float32)
+                for i, v in enumerate(t._data[c]):
+                    if v is not None:
+                        mat[i] = v
+                arrays[c] = mat
+            else:
+                cols[c] = ty
+                arrays[c] = np.asarray(t._data[c],
+                                       dtype=object if ty == "VARCHAR"
+                                       else None)
+        arrays["__live__"] = np.asarray(t._live, bool)
+        np.savez(_os.path.join(directory, f"table_{tname}.npz"),
+                 **{k: v for k, v in arrays.items() if v.dtype != object})
+        obj_cols = {k: v.tolist() for k, v in arrays.items()
+                    if v.dtype == object}
+        catalog["tables"][tname] = {"columns": cols, "objects": obj_cols}
+    for iname, e in db.indexes.items():
+        path = _os.path.join(directory, f"index_{iname}.vss")
+        _persist.save_index(e.index, path)
+        catalog["indexes"][iname] = {
+            "table": e.table.name, "column": e.column}
+    with open(_os.path.join(directory, "catalog.json"), "w") as f:
+        json.dump(catalog, f)
+    return directory
+
+
+def open_database(directory: str) -> Database:
+    """Restart: rebuild the catalog; index blobs load from the native
+    container (deferred via mmap page-in)."""
+    import json
+    import os as _os
+
+    from duckdb_vss_tpu.utils import persist as _persist
+
+    with open(_os.path.join(directory, "catalog.json")) as f:
+        catalog = json.load(f)
+    db = Database(path=directory)
+    db.settings["hnsw_enable_experimental_persistence"] = True
+    for tname, meta in catalog["tables"].items():
+        cols = {
+            c: (tuple(ty) if isinstance(ty, list) else ty)
+            for c, ty in meta["columns"].items()}
+        t = db.create_table(tname, cols)
+        z = np.load(_os.path.join(directory, f"table_{tname}.npz"),
+                    allow_pickle=False)
+        live = z["__live__"]
+        n = len(live)
+        for c, ty in t.columns.items():
+            if isinstance(ty, VectorType):
+                mat = z[c]
+                t._data[c] = [None if np.isnan(row).all() else row.copy()
+                              for row in mat]
+            elif c in meta["objects"]:
+                t._data[c] = list(meta["objects"][c])
+            else:
+                t._data[c] = z[c].tolist()
+        t._live = live.tolist()
+        t._flat_dirty = set(t.vector_columns())
+    for iname, meta in catalog["indexes"].items():
+        idx = _persist.load_index(
+            _os.path.join(directory, f"index_{iname}.vss"))
+        entry = IndexEntry(iname, db.tables[meta["table"]], meta["column"],
+                           idx)
+        db.indexes[iname] = entry
+    return db
