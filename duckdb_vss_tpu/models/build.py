@@ -182,7 +182,11 @@ def _apply_backlinks(
         row_idx = jnp.where(sel, tgt_row, jnp.int32(2**30))  # drop inactive
         return table.at[row_idx].set(new_rows, mode="drop")
 
-    return lax.fori_loop(0, r_rounds, round_fn, table)
+    # only run as many conflict-resolution rounds as the deepest target
+    # group actually needs (usually 1) — requests past r_rounds are dropped
+    rounds_needed = jnp.minimum(
+        jnp.max(jnp.where(act, ranks, -1)) + 1, r_rounds)
+    return lax.fori_loop(0, rounds_needed, round_fn, table)
 
 
 def insert_batch_impl(
@@ -297,8 +301,13 @@ def insert_batch_impl(
                                seeds[:, :1])
         return next_seeds, upper_neighbors, n_dist
 
+    # dynamic trip count: only descend through levels that exist in the
+    # graph or in this batch (saves ~6 empty beam invocations per batch)
+    top_lvl = jnp.clip(
+        jnp.maximum(state.max_level, jnp.max(new_levels)), 0, L_MAX)
     seeds, upper_neighbors, n_dist = lax.fori_loop(
-        0, L_MAX, upper_level, (seeds0, state.upper_neighbors, n_dist)
+        L_MAX - top_lvl, L_MAX, upper_level,
+        (seeds0, state.upper_neighbors, n_dist)
     )
     state = state._replace(upper_neighbors=upper_neighbors)
 

@@ -171,7 +171,9 @@ class FlatIndex:
             queries = queries[None, :]
         b, d = queries.shape
         assert d == self.dims, (d, self.dims)
-        b_pad = round_up(max(b, 1), 8)
+        # bucket the batch to a power of two (min 8): every distinct shape
+        # costs a multi-minute remote compile on the TPU backend
+        b_pad = max(8, 1 << (max(b, 1) - 1).bit_length())
         return jnp.asarray(pad_2d_np(queries, b_pad, self.d_pad))
 
     def search_device(self, queries_padded: jax.Array, k: int,

@@ -218,7 +218,8 @@ def greedy_descent(
         return cur, cur_score, n_dist
 
     cur, cur_score, n_dist = lax.fori_loop(
-        0, L_MAX, level_body, (cur, cur_score, n_dist)
+        0, jnp.clip(state.max_level, 0, L_MAX), level_body,
+        (cur, cur_score, n_dist)
     )
     return cur, cur_score, n_dist
 
@@ -241,6 +242,7 @@ def beam_search(
     expand: int = 2,  # E: beam entries expanded per step
     max_steps: int | None = None,
     active: jax.Array | None = None,  # [B] bool; inactive queries do nothing
+    use_pallas: bool = False,  # fused DMA gather+score kernel (TPU only)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched best-first beam search. Returns (scores [B, ef] ascending,
     ids [B, ef], n_dist []). Tombstones are NOT filtered here (matches
@@ -312,7 +314,13 @@ def beam_search(
         ).any(axis=1)
         keep = valid & ~in_beam & ~dup_new
 
-        s = gather_scores(vectors, vec_sq, nbrs, queries, q_sq, metric)
+        if use_pallas:
+            from duckdb_vss_tpu.ops.pallas_gather import gather_scores_pallas
+
+            s = gather_scores_pallas(
+                vectors, jnp.where(keep, nbrs, -1), queries, q_sq, metric)
+        else:
+            s = gather_scores(vectors, vec_sq, nbrs, queries, q_sq, metric)
         s = jnp.where(keep, s, INF_SCORE)
         n_dist = n_dist + jnp.sum(keep.astype(jnp.int32))
 
@@ -358,6 +366,7 @@ def search_graph(
     metric: MetricKind,
     expand: int = 2,
     max_steps: int | None = None,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """End-to-end ANN search. Returns (scores [B, k] ascending exact
     index-metric values, ids [B, k] slot ids with -1 fill, n_dist [])."""
@@ -382,6 +391,7 @@ def search_graph(
         level=0,
         expand=expand,
         max_steps=max_steps,
+        use_pallas=use_pallas,
     )
     # tombstone filter (usearch injects an `allow` predicate over results,
     # index_dense.hpp:1797-1827) then exact rerank at HIGHEST precision so

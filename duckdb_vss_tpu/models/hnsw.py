@@ -37,11 +37,11 @@ DEFAULT_BUILD_BATCH = 256
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "metric", "expand"))
+    jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
-                     expand=2):
+                     expand=2, use_pallas=False):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
-                        expand=expand)
+                        expand=expand, use_pallas=use_pallas)
 
 
 class HNSWIndex:
@@ -62,6 +62,9 @@ class HNSWIndex:
             self.store.capacity, self.config.m, self.config.m0)
         self.build_batch = int(build_batch)
         self.build_expand = int(build_expand)
+        # fused DMA gather+score Pallas kernel for traversal (TPU only)
+        import os as _os
+        self.use_pallas = _os.environ.get("DVT_PALLAS", "0") == "1"
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -164,7 +167,8 @@ class HNSWIndex:
         ef_eff = round_up(ef_eff, 16)
         scores, slots, nd = _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
-            self.store._valid, q, int(k), ef_eff, self.metric, expand)
+            self.store._valid, q, int(k), ef_eff, self.metric, expand,
+            self.use_pallas)
         scores_np, slots_np, nd_np = jax.device_get((scores, slots, nd))
         self.search_distance_count += int(nd_np)
         slots_np = slots_np[:b]

@@ -248,9 +248,33 @@ class ShardedHNSWIndex:
         self.graph = g0
 
     # -- build ----------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _scatter_step(self, vectors, vec_sq, valid, batch_v, batch_slots):
+        """SPMD scatter of one [S, B, D] batch into the stacked store."""
+
+        def shard_fn(vectors, vec_sq, valid, bv, bs):
+            rows = jnp.where(bs[0] >= 0, bs[0], jnp.int32(2**30))
+            v = vectors[0].at[rows].set(bv[0], mode="drop")
+            sq = vec_sq[0].at[rows].set(
+                jnp.sum(bv[0] * bv[0], axis=-1), mode="drop")
+            va = valid[0].at[rows].set(True, mode="drop")
+            return v[None], sq[None], va[None]
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("shard", None, None), P("shard", None),
+                      P("shard", None), P("shard", None, None),
+                      P("shard", None)),
+            out_specs=(P("shard", None, None), P("shard", None),
+                       P("shard", None)),
+        )(vectors, vec_sq, valid, batch_v, batch_slots)
+
     def add(self, vectors: np.ndarray, keys: np.ndarray) -> None:
-        """Hash-partition and insert. Each SPMD step inserts one batch of
-        up to ``build_batch`` nodes into EVERY shard simultaneously."""
+        """Hash-partition and insert. Each SPMD step scatters one batch of
+        up to ``build_batch`` vectors into every shard's store on-device
+        (no host round trip of the stacked arrays) and then runs the
+        SPMD graph-insert step."""
         vectors = np.asarray(vectors, np.float32)
         keys = np.asarray(keys, np.int64).reshape(-1)
         shards = shard_keys(keys, self.n_shards)
@@ -260,28 +284,32 @@ class ShardedHNSWIndex:
                for i, p in enumerate(per_shard)):
             raise ValueError("shard capacity exceeded")
 
-        # write vectors into the stacked store (host-side assembly)
-        upd_v = np.array(jax.device_get(self._vectors))
-        upd_q = np.array(jax.device_get(self._vec_sq))
-        upd_m = np.array(jax.device_get(self._valid))
         slot_lists = []
         for i in range(s):
             idx = per_shard[i]
             off = int(self._counts[i])
             n_i = len(idx)
-            upd_v[i, off : off + n_i, : self.dims] = vectors[idx]
-            upd_q[i, off : off + n_i] = (vectors[idx] ** 2).sum(-1)
-            upd_m[i, off : off + n_i] = True
             self._keys[i, off : off + n_i] = keys[idx]
             slot_lists.append(np.arange(off, off + n_i, dtype=np.int32))
             self._counts[i] += n_i
-        sh3 = NamedSharding(self.mesh, P("shard", None, None))
-        sh2 = NamedSharding(self.mesh, P("shard", None))
-        self._vectors = jax.device_put(jnp.asarray(upd_v), sh3)
-        self._vec_sq = jax.device_put(jnp.asarray(upd_q), sh2)
-        self._valid = jax.device_put(jnp.asarray(upd_m), sh2)
 
         bb = self.build_batch
+        sh3 = NamedSharding(self.mesh, P("shard", None, None))
+        sh2 = NamedSharding(self.mesh, P("shard", None))
+        n_scatter = max((len(sl) + bb - 1) // bb for sl in slot_lists) if \
+            slot_lists else 0
+        for step in range(n_scatter):
+            bv = np.zeros((s, bb, self.d_pad), np.float32)
+            bs = np.full((s, bb), -1, np.int32)
+            for i in range(s):
+                chunk = slot_lists[i][step * bb : (step + 1) * bb]
+                src = per_shard[i][step * bb : (step + 1) * bb]
+                bv[i, : len(chunk), : self.dims] = vectors[src]
+                bs[i, : len(chunk)] = chunk
+            self._vectors, self._vec_sq, self._valid = self._scatter_step(
+                self._vectors, self._vec_sq, self._valid,
+                jax.device_put(jnp.asarray(bv), sh3),
+                jax.device_put(jnp.asarray(bs), sh2))
         n_steps = max((len(sl) + bb - 1) // bb for sl in slot_lists) or 0
         for step in range(n_steps):
             batch_slots = np.full((s, bb), -1, np.int32)
