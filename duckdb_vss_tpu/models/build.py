@@ -78,12 +78,18 @@ def select_diverse(
     cand_scores: jax.Array,  # [B, C]
     m_out: int,
     metric: MetricKind,
+    backfill: bool = False,
 ) -> jax.Array:
     """usearch `refine_` (index.hpp:3601-3638), batched.
 
     Walk candidates in ascending-distance order; keep c iff for every
     already-kept r: dist(c, target) < dist(c, r). Returns [B, m_out]
     selected ids, -1 padded, in selection order.
+
+    backfill=True fills remaining slots with the closest rejected
+    candidates (the HNSW paper's keepPrunedConnections): the bulk build
+    needs it because its candidates all come from one tight kNN
+    neighborhood, where strict diversity leaves too few edges.
     """
     b, c = cand_ids.shape
     safe = jnp.maximum(cand_ids, 0)
@@ -102,15 +108,18 @@ def select_diverse(
         return kept, n_kept + take_i.astype(jnp.int32)
 
     kept, n_kept = lax.fori_loop(
-        0, c, body, (jnp.zeros((b, c), jnp.bool_), jnp.zeros((b,), jnp.int32))
+        0, c, body,
+        (jnp.zeros((b, c), jnp.bool_), jnp.zeros((b,), jnp.int32)),
+        unroll=8,  # the scan is latency-bound: 8x fewer sequential hops
     )
-    # compact kept ids to the front, -1 pad
+    # compact kept ids to the front (then rejected-but-valid, then invalid)
     rank = jnp.arange(c, dtype=jnp.int32)[None, :]
-    key = jnp.where(kept, rank, c + rank)
+    key = jnp.where(kept, rank, jnp.where(valid, c + rank, 2 * c + rank))
     order = jnp.argsort(key, axis=1)
     packed = jnp.take_along_axis(cand_ids, order, axis=1)[:, :m_out]
     pos = jnp.arange(m_out, dtype=jnp.int32)[None, :]
-    return jnp.where(pos < n_kept[:, None], packed, -1)
+    limit = (jnp.sum(valid, axis=1) if backfill else n_kept)[:, None]
+    return jnp.where(pos < limit, packed, -1)
 
 
 def _group_ranks(tgt: jax.Array, dist: jax.Array) -> jax.Array:
@@ -147,9 +156,16 @@ def _apply_backlinks(
     #                       upper_slot[tgt] for upper layers)
     metric: MetricKind,
     r_rounds: int,
+    prune: str = "diversity",
 ) -> jax.Array:
-    """Append src into tgt's neighbor row with usearch's overflow pruning,
-    resolving same-target conflicts over ``r_rounds`` rounds."""
+    """Append src into tgt's neighbor row with overflow pruning, resolving
+    same-target conflicts over ``r_rounds`` rounds.
+
+    prune="diversity" applies usearch's refine_ heuristic on overflow
+    (reconnect_neighbor_nodes_, index.hpp:3308-3312). prune="truncate"
+    keeps the m_cap closest instead — one sorted slice instead of a
+    sequential keep-scan; cheaper, slightly less navigable graphs.
+    """
     m_cap = table.shape[1]
     t_vec = jnp.take(vectors, jnp.maximum(tgt, 0), axis=0)
     t_sq = jnp.take(vec_sq, jnp.maximum(tgt, 0), axis=0)
@@ -174,9 +190,13 @@ def _apply_backlinks(
         s_d2 = jnp.take_along_axis(d, order, axis=1)
         s_ids = jnp.where(s_d2 < INF_SCORE, s_ids, -1)
 
-        # overflow -> diversity prune (refine_), else plain append
-        pruned = select_diverse(vectors, vec_sq, s_ids, s_d2, m_cap, metric)
+        # overflow -> prune, else plain append
         appended = s_ids[:, :m_cap]
+        if prune == "diversity":
+            pruned = select_diverse(vectors, vec_sq, s_ids, s_d2, m_cap,
+                                    metric)
+        else:  # "truncate": keep closest m_cap (already sorted ascending)
+            pruned = appended
         new_rows = jnp.where((count > m_cap)[:, None], pruned, appended)
 
         row_idx = jnp.where(sel, tgt_row, jnp.int32(2**30))  # drop inactive
@@ -202,6 +222,7 @@ def insert_batch_impl(
     ef_upper: int = 32,
     expand: int = 2,
     r_rounds: int = 4,
+    prune: str = "diversity",
 ) -> tuple[GraphState, jax.Array]:
     """Insert a batch of new nodes. Returns (state, n_dist counter).
 
@@ -291,7 +312,7 @@ def insert_batch_impl(
         flat_row = tgt_uslot * L_MAX + (lvl - 1)
         flat = _apply_backlinks(
             flat, vectors, vec_sq, tgt, src, act,
-            jnp.where(act, flat_row, -1), metric, r_rounds,
+            jnp.where(act, flat_row, -1), metric, r_rounds, prune,
         )
         upper_neighbors = flat.reshape(cap_u, L_MAX, m)
 
@@ -329,7 +350,7 @@ def insert_batch_impl(
     act = (tgt >= 0) & (src >= 0)
     neighbors0 = _apply_backlinks(
         neighbors0, vectors, vec_sq, tgt, src, act,
-        jnp.where(act, tgt, -1), metric, r_rounds,
+        jnp.where(act, tgt, -1), metric, r_rounds, prune,
     )
     state = state._replace(neighbors0=neighbors0)
 
@@ -366,5 +387,5 @@ def insert_batch_impl(
 insert_batch = functools.partial(
     jax.jit,
     static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
-                     "expand", "r_rounds"),
+                     "expand", "r_rounds", "prune"),
 )(insert_batch_impl)

@@ -355,6 +355,48 @@ def beam_search(
 # ---------------------------------------------------------------------------
 
 
+def beam_descent(
+    state: GraphState,
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    queries: jax.Array,  # [B, D]
+    q_sq: jax.Array,
+    metric: MetricKind,
+    descent_ef: int = 16,
+    n_seeds: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Small-beam descent through the upper levels.
+
+    Greedy 1-NN descent (the reference's search_for_one_) is a hill climb
+    and strands queries in local minima of the sparse upper graphs —
+    especially over bulk-built skeletons on clustered data. A narrow beam
+    per level, carried level to level, lands a *set* of good base-layer
+    seeds instead of one. Returns (seed_ids [B, n_seeds], n_dist [])."""
+    b = queries.shape[0]
+    seeds0 = jnp.broadcast_to(state.entry_node, (b,))[:, None]
+    seeds0 = jnp.concatenate(
+        [seeds0, jnp.full((b, n_seeds - 1), -1, jnp.int32)], axis=1
+    ) if n_seeds > 1 else seeds0
+    top = jnp.clip(state.max_level, 0, L_MAX)
+
+    def level_body(i, carry):
+        seeds, n_dist = carry
+        lvl = top - i  # max_level .. 1
+        scores, ids, nd = beam_search(
+            state, vectors, vec_sq, queries, q_sq, seeds, descent_ef,
+            metric, level=lvl, expand=1,
+        )
+        new_seeds = ids[:, :n_seeds]
+        # keep previous seeds if this level found nothing
+        new_seeds = jnp.where(new_seeds >= 0, new_seeds, seeds)
+        return new_seeds, n_dist + nd
+
+    seeds, n_dist = lax.fori_loop(
+        0, top, level_body, (seeds0, jnp.int32(0))
+    )
+    return seeds, n_dist
+
+
 def search_graph(
     state: GraphState,
     vectors: jax.Array,
@@ -367,16 +409,17 @@ def search_graph(
     expand: int = 2,
     max_steps: int | None = None,
     use_pallas: bool = False,
+    descent_ef: int = 16,
+    n_seeds: int = 4,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """End-to-end ANN search. Returns (scores [B, k] ascending exact
     index-metric values, ids [B, k] slot ids with -1 fill, n_dist [])."""
     queries = queries.astype(jnp.float32)
     q_sq = jnp.sum(queries * queries, axis=-1)
-    b = queries.shape[0]
 
-    stop_level = jnp.zeros((b,), jnp.int32)  # descend to level 1
-    cur, _, n_dist0 = greedy_descent(
-        state, vectors, vec_sq, queries, q_sq, stop_level, metric
+    seeds, n_dist0 = beam_descent(
+        state, vectors, vec_sq, queries, q_sq, metric,
+        descent_ef=descent_ef, n_seeds=n_seeds,
     )
     ef_eff = max(ef, k)
     scores, ids, n_dist1 = beam_search(
@@ -385,7 +428,7 @@ def search_graph(
         vec_sq,
         queries,
         q_sq,
-        cur[:, None],
+        seeds,
         ef_eff,
         metric,
         level=0,

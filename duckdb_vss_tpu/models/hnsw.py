@@ -55,6 +55,7 @@ class HNSWIndex:
         seed: int = 0x5EED,
         build_batch: int = DEFAULT_BUILD_BATCH,
         build_expand: int = 2,
+        build_prune: str = "diversity",
     ):
         self.config = config or HNSWConfig()
         self.store = FlatIndex(dims, self.config.metric, capacity)
@@ -62,6 +63,10 @@ class HNSWIndex:
             self.store.capacity, self.config.m, self.config.m0)
         self.build_batch = int(build_batch)
         self.build_expand = int(build_expand)
+        self.build_prune = str(build_prune)
+        # bulk loads into an empty graph at/above this size use the exact
+        # kNN-graph MXU build instead of batched insertion
+        self.bulk_threshold = 4096
         # fused DMA gather+score Pallas kernel for traversal (TPU only)
         import os as _os
         self.use_pallas = _os.environ.get("DVT_PALLAS", "0") == "1"
@@ -107,11 +112,25 @@ class HNSWIndex:
             vectors = vectors[None, :]
         keys = np.asarray(keys, np.int64).reshape(-1)
         n = vectors.shape[0]
+        graph_empty = int(jax.device_get(self.graph.entry_node)) < 0
         self.reserve(self.store.size + n)
         slots = self.store.add(vectors, keys)
         if self.store.capacity > self.graph.capacity:
             self.graph = grow_graph(self.graph, self.store.capacity)
         levels = self._sample_levels(n)
+
+        if graph_empty and n >= self.bulk_threshold:
+            # CREATE INDEX-style bulk path: exact-kNN graph on the MXU
+            # (PhysicalCreateHNSWIndex analog; models/bulk.py)
+            from duckdb_vss_tpu.models.bulk import bulk_build
+
+            self.graph = bulk_build(
+                self.store._vectors, self.store._vec_sq,
+                np.asarray(slots, np.int32), levels, self.config,
+                self.metric, host_vectors=vectors)
+            self.build_distance_count += n * self.store.capacity  # exact sweep
+            self.is_dirty = True
+            return slots
 
         bb = self.build_batch
         cfg = self.config
@@ -133,6 +152,7 @@ class HNSWIndex:
                 cfg.m0,
                 cfg.ef_construction,
                 expand=self.build_expand,
+                prune=self.build_prune,
             )
             nd_total = nd_total + nd
         self.build_distance_count += int(jax.device_get(nd_total))

@@ -248,3 +248,29 @@ class TestJoins:
         b.insert({"bid": np.arange(50), "v": list(bv)})
         out = db.vss_match(b, bv[7], "v", 1)
         assert out["right_bid"][0] == 7
+
+
+class TestOperatorAliases:
+    def test_distance_operator_aliases(self):
+        # <-> / <=> / <#> map to the metric functions
+        # (MakeFunctionMatcher, hnsw_index.cpp:632-662)
+        db, t, vecs, rng = make_db(n=200, metric="l2sq")
+        e = E.fn("<->", E.col("vec"), E.const(vecs[0]))
+        plan = t.select("id").order_by(e).limit(3).explain()
+        assert "HNSW_INDEX_SCAN" in plan
+        res = t.select("id").order_by(e).limit(3).execute()
+        assert res["id"][0] == 0
+
+    def test_ip_operator(self):
+        db, t, vecs, rng = make_db(n=200, metric="ip")
+        e = E.fn("<#>", E.col("vec"), E.const(vecs[5]))
+        plan = t.select("id").order_by(e).limit(3).explain()
+        assert "HNSW_INDEX_SCAN" in plan
+
+    def test_query_vector_either_arg_order(self):
+        db, t, vecs, rng = make_db(n=200)
+        e = E.fn("array_distance", E.const(vecs[3]), E.col("vec"))
+        plan = t.select("id").order_by(e).limit(3).explain()
+        assert "HNSW_INDEX_SCAN" in plan
+        res = t.select("id").order_by(e).limit(1).execute()
+        assert res["id"][0] == 3
