@@ -47,7 +47,7 @@ def _knn_block(q_block, slots, vectors, vec_sq, valid, k, metric, block_n):
     """Exact top-(k+1) for one query block, self-match removed."""
     scores, ids = flat_topk(
         q_block, vectors, k + 1, metric, vec_sq=vec_sq, valid=valid,
-        block_n=block_n)
+        block_n=block_n, precision=jax.lax.Precision.DEFAULT)
     self_hit = ids == slots[:, None]
     scores = jnp.where(self_hit, INF_SCORE, scores)
     ids = jnp.where(self_hit, -1, ids)

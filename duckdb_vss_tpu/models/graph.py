@@ -373,28 +373,21 @@ def beam_descent(
     per level, carried level to level, lands a *set* of good base-layer
     seeds instead of one. Returns (seed_ids [B, n_seeds], n_dist [])."""
     b = queries.shape[0]
-    seeds0 = jnp.broadcast_to(state.entry_node, (b,))[:, None]
-    seeds0 = jnp.concatenate(
-        [seeds0, jnp.full((b, n_seeds - 1), -1, jnp.int32)], axis=1
-    ) if n_seeds > 1 else seeds0
-    top = jnp.clip(state.max_level, 0, L_MAX)
-
-    def level_body(i, carry):
-        seeds, n_dist = carry
-        lvl = top - i  # max_level .. 1
-        scores, ids, nd = beam_search(
-            state, vectors, vec_sq, queries, q_sq, seeds, descent_ef,
-            metric, level=lvl, expand=1,
-        )
-        new_seeds = ids[:, :n_seeds]
-        # keep previous seeds if this level found nothing
-        new_seeds = jnp.where(new_seeds >= 0, new_seeds, seeds)
-        return new_seeds, n_dist + nd
-
-    seeds, n_dist = lax.fori_loop(
-        0, top, level_body, (seeds0, jnp.int32(0))
+    # levels max..2: greedy hill-climb (few nodes, cheap); level 1: one
+    # short beam — that's where cluster-level routing is decided and a
+    # single greedy path strands queries
+    stop_level = jnp.ones((b,), jnp.int32)
+    cur, _, nd0 = greedy_descent(
+        state, vectors, vec_sq, queries, q_sq, stop_level, metric
     )
-    return seeds, n_dist
+    scores, ids, nd1 = beam_search(
+        state, vectors, vec_sq, queries, q_sq, cur[:, None], descent_ef,
+        metric, level=1, expand=2, max_steps=descent_ef,
+        active=jnp.broadcast_to(state.max_level >= 1, (b,)),
+    )
+    seeds = ids[:, :n_seeds]
+    seeds = jnp.where(seeds >= 0, seeds, cur[:, None])
+    return seeds, nd0 + nd1
 
 
 def search_graph(

@@ -46,9 +46,12 @@ def flat_topk_dense(
     metric: MetricKind,
     vec_sq: jax.Array | None = None,
     valid: jax.Array | None = None,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-matmul top-k for small N: [B, D] x [N, D] -> ([B, k], [B, k])."""
-    s = score_matrix(queries, vectors, metric, vec_sq=vec_sq)
+    precision = precision or jax.lax.Precision.HIGHEST
+    s = score_matrix(queries, vectors, metric, vec_sq=vec_sq,
+                     precision=precision)
     if valid is not None:
         s = jnp.where(valid[None, :], s, INF_SCORE)
     neg_top, ids = lax.top_k(-s, k)
@@ -63,16 +66,23 @@ def flat_topk(
     vec_sq: jax.Array | None = None,
     valid: jax.Array | None = None,
     block_n: int = 16384,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming top-k: scan over [block_n, D] blocks with a running merge.
 
     ``vectors`` must be [N, D] with N divisible by ``block_n`` (the store
     guarantees this); returns ascending (scores [B, k], ids [B, k]).
+
+    precision defaults to HIGHEST (exact row parity); the bulk-build kNN
+    sweep passes DEFAULT (bf16 MXU passes, ~6x the f32 throughput) since
+    its candidates feed graph construction, not user-facing results.
     """
+    precision = precision or jax.lax.Precision.HIGHEST
     n, d = vectors.shape
     b = queries.shape[0]
     if n <= block_n:
-        return flat_topk_dense(queries, vectors, k, metric, vec_sq, valid)
+        return flat_topk_dense(queries, vectors, k, metric, vec_sq, valid,
+                               precision)
     assert n % block_n == 0, (n, block_n)
     nb = n // block_n
 
@@ -93,7 +103,8 @@ def flat_topk(
     def step(carry, xs):
         best_s, best_i = carry
         v, sq, va, off = xs
-        s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq)
+        s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq,
+                         precision=precision)
         s = jnp.where(va[None, :], s, INF_SCORE)
         neg_top, pos = lax.top_k(-s, kc)
         blk_ids = pos.astype(jnp.int32) + off

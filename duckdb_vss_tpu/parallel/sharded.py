@@ -247,6 +247,25 @@ class ShardedHNSWIndex:
         )
         self.graph = g0
 
+    def _stack_graphs(self, states) -> "ShardedGraph":
+        """Stack per-shard GraphStates into the sharded layout."""
+        mesh = self.mesh
+        field_specs = {
+            "neighbors0": P("shard", None, None),
+            "upper_neighbors": P("shard", None, None, None),
+            "upper_slot": P("shard", None),
+            "upper_node": P("shard", None),
+            "levels": P("shard", None),
+            "entry_node": P("shard"),
+            "max_level": P("shard"),
+            "upper_count": P("shard"),
+        }
+        out = {}
+        for f, spec in field_specs.items():
+            stacked = jnp.stack([getattr(st, f) for st in states])
+            out[f] = jax.device_put(stacked, NamedSharding(mesh, spec))
+        return ShardedGraph(**out)
+
     # -- build ----------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,))
     def _scatter_step(self, vectors, vec_sq, valid, batch_v, batch_slots):
@@ -310,6 +329,27 @@ class ShardedHNSWIndex:
                 self._vectors, self._vec_sq, self._valid,
                 jax.device_put(jnp.asarray(bv), sh3),
                 jax.device_put(jnp.asarray(bs), sh2))
+        # bulk load into empty shards: per-shard local MXU bulk build
+        # (on a real pod each host builds its partition locally; only
+        # search needs collectives), then stack the per-shard graphs
+        graphs_empty = int(np.asarray(
+            jax.device_get(self.graph.max_level)).max()) < 0
+        if graphs_empty and len(keys) >= 4096:
+            from duckdb_vss_tpu.models.bulk import bulk_build
+
+            states = []
+            host_v = np.asarray(jax.device_get(self._vectors))
+            host_q = np.asarray(jax.device_get(self._vec_sq))
+            for i in range(s):
+                sl = slot_lists[i]
+                lv = self._sample_levels(len(sl))
+                states.append(bulk_build(
+                    jnp.asarray(host_v[i]), jnp.asarray(host_q[i]),
+                    sl.astype(np.int32), lv, self.config, self.config.metric,
+                    host_vectors=host_v[i][sl][:, : self.dims]))
+            self.graph = self._stack_graphs(states)
+            return
+
         n_steps = max((len(sl) + bb - 1) // bb for sl in slot_lists) or 0
         for step in range(n_steps):
             batch_slots = np.full((s, bb), -1, np.int32)
