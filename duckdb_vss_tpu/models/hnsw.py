@@ -37,11 +37,13 @@ DEFAULT_BUILD_BATCH = 256
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas"))
+    jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas",
+                              "descent_ef", "n_seeds"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
-                     expand=2, use_pallas=False):
+                     expand=4, use_pallas=False, descent_ef=32, n_seeds=8):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
-                        expand=expand, use_pallas=use_pallas)
+                        expand=expand, use_pallas=use_pallas,
+                        descent_ef=descent_ef, n_seeds=n_seeds)
 
 
 class HNSWIndex:
@@ -174,7 +176,9 @@ class HNSWIndex:
         queries: np.ndarray,
         k: int,
         ef: int | None = None,
-        expand: int = 2,
+        expand: int = 4,
+        descent_ef: int = 32,
+        n_seeds: int = 8,
     ) -> tuple[np.ndarray, np.ndarray]:
         """ANN top-k. ef defaults to config.ef_search and may be overridden
         per call (the hnsw_ef_search session setting,
@@ -188,7 +192,7 @@ class HNSWIndex:
         scores, slots, nd = _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
             self.store._valid, q, int(k), ef_eff, self.metric, expand,
-            self.use_pallas)
+            self.use_pallas, descent_ef, n_seeds)
         scores_np, slots_np, nd_np = jax.device_get((scores, slots, nd))
         self.search_distance_count += int(nd_np)
         slots_np = slots_np[:b]
@@ -198,7 +202,7 @@ class HNSWIndex:
         return scores_np[:b], keys
 
     def search_device(self, queries_padded: jax.Array, k: int,
-                      ef: int | None = None, expand: int = 2):
+                      ef: int | None = None, expand: int = 4):
         """Device-resident search: returns (scores, slots, n_dist)."""
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
         return _hnsw_search_jit(
