@@ -243,6 +243,7 @@ def beam_search(
     max_steps: int | None = None,
     active: jax.Array | None = None,  # [B] bool; inactive queries do nothing
     use_pallas: bool = False,  # fused DMA gather+score kernel (TPU only)
+    loop: str = "while",  # "while" (early exit) | "scan" | "unroll"
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched best-first beam search. Returns (scores [B, ef] ascending,
     ids [B, ef], n_dist []). Tombstones are NOT filtered here (matches
@@ -342,11 +343,20 @@ def beam_search(
         *_, it, done = carry
         return (~done) & (it < max_steps)
 
-    scores, ids, expanded, n_dist, _, _ = lax.while_loop(
-        cond,
-        step,
-        (scores, ids, expanded, n_dist, jnp.int32(0), jnp.bool_(False)),
-    )
+    init = (scores, ids, expanded, n_dist, jnp.int32(0), jnp.bool_(False))
+    if loop == "while":
+        scores, ids, expanded, n_dist, _, _ = lax.while_loop(cond, step, init)
+    elif loop == "scan":
+        def scan_step(carry, _):
+            return step(carry), None
+
+        (scores, ids, expanded, n_dist, _, _), _ = lax.scan(
+            scan_step, init, None, length=max_steps)
+    else:  # "unroll": fixed trip count, fully fused across steps
+        carry = init
+        for _ in range(max_steps):
+            carry = step(carry)
+        scores, ids, expanded, n_dist, _, _ = carry
     return scores, ids, n_dist
 
 
@@ -364,6 +374,7 @@ def beam_descent(
     metric: MetricKind,
     descent_ef: int = 16,
     n_seeds: int = 4,
+    descent_steps: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Small-beam descent through the upper levels.
 
@@ -382,7 +393,8 @@ def beam_descent(
     )
     scores, ids, nd1 = beam_search(
         state, vectors, vec_sq, queries, q_sq, cur[:, None], descent_ef,
-        metric, level=1, expand=2, max_steps=descent_ef,
+        metric, level=1, expand=4,
+        max_steps=descent_steps or descent_ef,
         active=jnp.broadcast_to(state.max_level >= 1, (b,)),
     )
     seeds = ids[:, :n_seeds]
@@ -404,6 +416,8 @@ def search_graph(
     use_pallas: bool = False,
     descent_ef: int = 16,
     n_seeds: int = 4,
+    loop: str = "while",
+    descent_steps: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """End-to-end ANN search. Returns (scores [B, k] ascending exact
     index-metric values, ids [B, k] slot ids with -1 fill, n_dist [])."""
@@ -413,6 +427,7 @@ def search_graph(
     seeds, n_dist0 = beam_descent(
         state, vectors, vec_sq, queries, q_sq, metric,
         descent_ef=descent_ef, n_seeds=n_seeds,
+        descent_steps=descent_steps,
     )
     ef_eff = max(ef, k)
     scores, ids, n_dist1 = beam_search(
@@ -428,6 +443,7 @@ def search_graph(
         expand=expand,
         max_steps=max_steps,
         use_pallas=use_pallas,
+        loop=loop,
     )
     # tombstone filter (usearch injects an `allow` predicate over results,
     # index_dense.hpp:1797-1827) then exact rerank at HIGHEST precision so

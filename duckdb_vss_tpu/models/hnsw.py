@@ -38,12 +38,15 @@ DEFAULT_BUILD_BATCH = 256
 
 @functools.partial(
     jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas",
-                              "descent_ef", "n_seeds"))
+                              "descent_ef", "n_seeds", "loop", "max_steps",
+                              "descent_steps"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
-                     expand=4, use_pallas=False, descent_ef=32, n_seeds=8):
+                     expand=4, use_pallas=False, descent_ef=32, n_seeds=8,
+                     loop="while", max_steps=None, descent_steps=12):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
-                        descent_ef=descent_ef, n_seeds=n_seeds)
+                        descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
+                        max_steps=max_steps, descent_steps=descent_steps)
 
 
 class HNSWIndex:
@@ -179,27 +182,40 @@ class HNSWIndex:
         expand: int = 4,
         descent_ef: int = 32,
         n_seeds: int = 8,
+        chunk: int = 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
         """ANN top-k. ef defaults to config.ef_search and may be overridden
         per call (the hnsw_ef_search session setting,
         hnsw_index.cpp:288-299). Returns (scores, keys [B, k])."""
         qarr = np.asarray(queries, np.float32)
-        b = 1 if qarr.ndim == 1 else qarr.shape[0]
-        q = self.store.prepare_queries(qarr)
+        if qarr.ndim == 1:
+            qarr = qarr[None, :]
+        b = qarr.shape[0]
         ef_eff = max(int(ef or self.config.ef_search), k)
         # bucket ef to limit distinct compiled programs
         ef_eff = round_up(ef_eff, 16)
-        scores, slots, nd = _hnsw_search_jit(
-            self.graph, self.store._vectors, self.store._vec_sq,
-            self.store._valid, q, int(k), ef_eff, self.metric, expand,
-            self.use_pallas, descent_ef, n_seeds)
-        scores_np, slots_np, nd_np = jax.device_get((scores, slots, nd))
-        self.search_distance_count += int(nd_np)
-        slots_np = slots_np[:b]
-        keys = np.where(
-            slots_np >= 0, self.store._keys[np.maximum(slots_np, 0)],
-            np.int64(-1))
-        return scores_np[:b], keys
+        # device programs are fastest around batch 1024: larger requests
+        # are chunked host-side (dispatches overlap; one D2H per chunk)
+        outs = []
+        for off in range(0, b, chunk):
+            q = self.store.prepare_queries(qarr[off : off + chunk])
+            outs.append((_hnsw_search_jit(
+                self.graph, self.store._vectors, self.store._vec_sq,
+                self.store._valid, q, int(k), ef_eff, self.metric, expand,
+                self.use_pallas, descent_ef, n_seeds),
+                min(chunk, b - off)))
+        scores_list, keys_list, nd_total = [], [], 0
+        for (scores, slots, nd), nb in outs:
+            scores_np, slots_np, nd_np = jax.device_get((scores, slots, nd))
+            nd_total += int(nd_np)
+            slots_np = slots_np[:nb]
+            keys = np.where(
+                slots_np >= 0, self.store._keys[np.maximum(slots_np, 0)],
+                np.int64(-1))
+            scores_list.append(scores_np[:nb])
+            keys_list.append(keys)
+        self.search_distance_count += nd_total
+        return (np.concatenate(scores_list), np.concatenate(keys_list))
 
     def search_device(self, queries_padded: jax.Array, k: int,
                       ef: int | None = None, expand: int = 4):
