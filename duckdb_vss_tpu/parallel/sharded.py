@@ -80,6 +80,26 @@ class ShardedFlatIndex:
         self._keys = np.full((s, self.cap), -1, np.int64)
         self._counts = np.zeros((s,), np.int64)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _scatter_flat(self, vectors, vec_sq, valid, batch_v, batch_slots):
+        def shard_fn(vectors, vec_sq, valid, bv, bs):
+            rows = jnp.where(bs[0] >= 0, bs[0], jnp.int32(2**30))
+            v = vectors[0].at[rows].set(bv[0], mode="drop")
+            sq = vec_sq[0].at[rows].set(
+                jnp.sum(bv[0] * bv[0], axis=-1), mode="drop")
+            va = valid[0].at[rows].set(True, mode="drop")
+            return v[None], sq[None], va[None]
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("shard", None, None), P("shard", None),
+                      P("shard", None), P("shard", None, None),
+                      P("shard", None)),
+            out_specs=(P("shard", None, None), P("shard", None),
+                       P("shard", None)),
+        )(vectors, vec_sq, valid, batch_v, batch_slots)
+
     def add(self, vectors: np.ndarray, keys: np.ndarray) -> None:
         vectors = np.asarray(vectors, np.float32)
         keys = np.asarray(keys, np.int64).reshape(-1)
@@ -88,25 +108,31 @@ class ShardedFlatIndex:
         max_n = max((shards == i).sum() + self._counts[i] for i in range(s))
         if max_n > self.cap:
             raise ValueError("shard capacity exceeded; grow not implemented")
-        upd_v = np.array(jax.device_get(self._vectors))
-        upd_q = np.array(jax.device_get(self._vec_sq))
-        upd_m = np.array(jax.device_get(self._valid))
+        per_shard = [np.nonzero(shards == i)[0] for i in range(s)]
+        bb = 4096  # scatter batch (on-device; no host round trip)
+        slot_lists = []
         for i in range(s):
-            sel = shards == i
-            n_i = int(sel.sum())
-            if not n_i:
-                continue
             off = int(self._counts[i])
-            upd_v[i, off : off + n_i, : self.dims] = vectors[sel]
-            upd_q[i, off : off + n_i] = (vectors[sel] ** 2).sum(-1)
-            upd_m[i, off : off + n_i] = True
-            self._keys[i, off : off + n_i] = keys[sel]
+            n_i = len(per_shard[i])
+            self._keys[i, off : off + n_i] = keys[per_shard[i]]
+            slot_lists.append(np.arange(off, off + n_i, dtype=np.int32))
             self._counts[i] += n_i
-        shape3 = NamedSharding(self.mesh, P("shard", None, None))
-        shape2 = NamedSharding(self.mesh, P("shard", None))
-        self._vectors = jax.device_put(jnp.asarray(upd_v), shape3)
-        self._vec_sq = jax.device_put(jnp.asarray(upd_q), shape2)
-        self._valid = jax.device_put(jnp.asarray(upd_m), shape2)
+        n_steps = max((len(sl) + bb - 1) // bb for sl in slot_lists) if \
+            slot_lists else 0
+        sh3 = NamedSharding(self.mesh, P("shard", None, None))
+        sh2 = NamedSharding(self.mesh, P("shard", None))
+        for step in range(n_steps):
+            bv = np.zeros((s, bb, self.d_pad), np.float32)
+            bs = np.full((s, bb), -1, np.int32)
+            for i in range(s):
+                chunk = slot_lists[i][step * bb : (step + 1) * bb]
+                src = per_shard[i][step * bb : (step + 1) * bb]
+                bv[i, : len(chunk), : self.dims] = vectors[src]
+                bs[i, : len(chunk)] = chunk
+            self._vectors, self._vec_sq, self._valid = self._scatter_flat(
+                self._vectors, self._vec_sq, self._valid,
+                jax.device_put(jnp.asarray(bv), sh3),
+                jax.device_put(jnp.asarray(bs), sh2))
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def _search_sharded(self, queries, k: int, vectors=None, vec_sq=None,

@@ -546,20 +546,16 @@ def knn_join(db: Database, left: Table, right: Table, left_col: str,
         fi.metric = metric
         scores, rkeys = fi.search(qs, k)
 
-    # assemble: one combined fetch for all matches (join.cpp:156)
-    out_lidx, out_ridx, out_score, out_rownum = [], [], [], []
+    # assemble: one combined fetch for all matches (join.cpp:156),
+    # vectorized — row_num is the 1-based rank of valid matches per probe
     qpos = np.nonzero(lvalid)[0]
-    for qi, lpos in enumerate(qpos):
-        row_num = 0
-        for j in range(k):
-            rid = rkeys[qi, j]
-            if rid < 0:
-                continue
-            row_num += 1
-            out_lidx.append(lids[lpos])
-            out_ridx.append(rid)
-            out_score.append(scores[qi, j])
-            out_rownum.append(row_num)
+    match = rkeys >= 0  # [nq, k]
+    rownum = np.cumsum(match, axis=1)
+    sel_q, sel_j = np.nonzero(match)
+    out_lidx = lids[qpos[sel_q]]
+    out_ridx = rkeys[sel_q, sel_j]
+    out_score = scores[sel_q, sel_j]
+    out_rownum = rownum[sel_q, sel_j]
     lfetch = left.fetch(np.asarray(out_lidx, np.int64))
     rfetch = right.fetch(np.asarray(out_ridx, np.int64))
     out = {f"left_{c}": v for c, v in lfetch.items()}
