@@ -41,8 +41,8 @@ DEFAULT_BUILD_BATCH = 256
                               "descent_ef", "n_seeds", "loop", "max_steps",
                               "descent_steps"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
-                     expand=4, use_pallas=False, descent_ef=32, n_seeds=8,
-                     loop="while", max_steps=None, descent_steps=12):
+                     expand=4, use_pallas=False, descent_ef=48, n_seeds=8,
+                     loop="while", max_steps=None, descent_steps=16):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
@@ -180,7 +180,7 @@ class HNSWIndex:
         k: int,
         ef: int | None = None,
         expand: int = 4,
-        descent_ef: int = 32,
+        descent_ef: int = 48,
         n_seeds: int = 8,
         chunk: int = 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
