@@ -357,3 +357,43 @@ class HNSWIndex:
             "build_distance_count": self.build_distance_count,
             "search_distance_count": self.search_distance_count,
         }
+
+    # ------------------------------------------------------------------
+    # usearch index_dense_gt parity helpers (index_dense.hpp: rename
+    # :1318, get/distance_between :1338-1400, export_keys :1445,
+    # contains/count :1201-1220). The reference extension doesn't call
+    # these, but they complete the index surface.
+    def contains(self, key: int) -> bool:
+        return int(key) in self.store._key_to_slot
+
+    def count(self, key: int) -> int:
+        return 1 if self.contains(key) else 0
+
+    def rename(self, old_key: int, new_key: int) -> bool:
+        """Reassign a member's key (index_dense rename())."""
+        st = self.store
+        if int(new_key) in st._key_to_slot:
+            return False
+        slot = st._key_to_slot.pop(int(old_key), None)
+        if slot is None:
+            return False
+        st._key_to_slot[int(new_key)] = slot
+        st._keys[slot] = int(new_key)
+        self.is_dirty = True
+        return True
+
+    def get_vector(self, key: int) -> np.ndarray:
+        return self.store.get_vector(key)
+
+    def distance_between(self, key_a: int, key_b: int) -> float:
+        """Index-metric distance between two members."""
+        from duckdb_vss_tpu.ops.distance import pair_scores
+
+        a = self.store.get_vector(key_a)[None, :]
+        b = self.store.get_vector(key_b)[None, :]
+        return float(np.asarray(pair_scores(a, b, self.metric))[0])
+
+    def export_keys(self) -> np.ndarray:
+        """All live member keys (export_keys analog)."""
+        keys = self.store._keys
+        return keys[keys >= 0].copy()

@@ -163,3 +163,21 @@ def test_stats_shape(built):
     assert s["max_level"] >= 0
     assert s["build_distance_count"] > 0
     assert isinstance(s["levels"], list) and s["levels"]
+
+
+def test_usearch_parity_helpers():
+    rng = np.random.default_rng(15)
+    idx, v, keys = build_index(rng, n=300)
+    assert idx.contains(5) and not idx.contains(10**9)
+    assert idx.count(5) == 1 and idx.count(10**9) == 0
+    np.testing.assert_allclose(idx.get_vector(7), v[7], rtol=1e-6)
+    d = idx.distance_between(3, 4)
+    np.testing.assert_allclose(d, ((v[3] - v[4]) ** 2).sum(), rtol=1e-4)
+    assert idx.rename(3, 9000)
+    assert idx.contains(9000) and not idx.contains(3)
+    assert not idx.rename(4, 9000)  # collision refused
+    ek = idx.export_keys()
+    assert len(ek) == 300 and 9000 in ek.tolist()
+    # renamed key is returned by search
+    _, got = idx.search(v[3], 1)
+    assert got[0, 0] == 9000
