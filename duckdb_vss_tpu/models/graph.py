@@ -113,12 +113,17 @@ def gather_scores(
     metric: MetricKind,
     precision=lax.Precision.DEFAULT,
 ) -> jax.Array:
-    """Index-metric scores of gathered candidates: [B, C]."""
+    """Index-metric scores of gathered candidates: [B, C].
+
+    ``vectors`` may be a reduced-precision (bf16) traversal copy: the
+    dot runs in the table's dtype with f32 accumulation; vec_sq stays
+    f32. Callers needing exact emitted distances rerank against the f32
+    store (search_graph does)."""
     safe = jnp.maximum(ids, 0)
     vecs = jnp.take(vectors, safe, axis=0)  # [B, C, D]
     dot = lax.dot_general(
         vecs,
-        queries,
+        queries.astype(vectors.dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -360,6 +365,83 @@ def beam_search(
     return scores, ids, n_dist
 
 
+def mxu_descent(
+    upper_vecs: jax.Array,  # [cap_u, D] (bf16 or f32) vectors of level>=1 nodes
+    upper_vec_sq: jax.Array,  # [cap_u] f32
+    upper_node: jax.Array,  # [cap_u] int32 owning node, -1 if slot unused
+    entry_node: jax.Array,  # [] int32 fallback when no upper nodes exist
+    queries: jax.Array,  # [B, D] f32
+    q_sq: jax.Array,  # [B]
+    metric: MetricKind,
+    n_seeds: int,
+    block: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact coarse routing on the MXU: score EVERY upper-level node
+    against every query in one matmul and take the top-n_seeds as
+    base-layer seeds.
+
+    This replaces the reference's sequential greedy descent
+    (search_for_one_, /root/reference/src/include/usearch/index.hpp:
+    3383-3422) with the operation the TPU is built for: upper-level
+    nodes are a ~1/M fraction of the index, so brute-forcing them is one
+    [B, D] x [D, cap_u] matmul (~bf16 MXU) instead of ~max_level x
+    beam-steps of serialized random-row gathers — and the seeds it
+    produces are the EXACT nearest upper nodes, strictly better routing
+    than any greedy walk. Returns (seeds [B, n_seeds], n_dist []).
+    """
+    b = queries.shape[0]
+    cap_u = upper_vecs.shape[0]
+    dot = lax.dot_general(
+        queries.astype(upper_vecs.dtype),
+        upper_vecs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, cap_u]
+    if metric == MetricKind.IP:
+        s = 1.0 - dot
+    elif metric == MetricKind.L2SQ:
+        s = jnp.maximum(q_sq[:, None] - 2.0 * dot + upper_vec_sq[None, :], 0.0)
+    else:  # cosine
+        denom = jnp.sqrt(q_sq[:, None] * upper_vec_sq[None, :])
+        cos = dot / jnp.maximum(denom, _EPS)
+        s = 1.0 - cos
+        s = jnp.where(
+            (q_sq[:, None] <= 0.0) | (upper_vec_sq[None, :] <= 0.0), 1.0, s)
+        s = jnp.where(
+            (q_sq[:, None] <= 0.0) & (upper_vec_sq[None, :] <= 0.0), 0.0, s)
+    live = upper_node >= 0
+    s = jnp.where(live[None, :], s, INF_SCORE)
+    n_dist = jnp.sum(live.astype(jnp.int32)) * b
+
+    # two-stage top-k: a full lax.top_k over cap_u is a partial sort of
+    # B x cap_u; instead take per-block minima first (upper slots are
+    # assigned in insertion order, uncorrelated with geometry, so block
+    # minima lose only same-block runners-up), then top-k over blocks.
+    if cap_u > 4096 and cap_u % block == 0 and n_seeds <= cap_u // block:
+        sb = s.reshape(b, cap_u // block, block)
+        bmin = jnp.min(sb, axis=2)  # [B, G]
+        barg = jnp.argmin(sb, axis=2).astype(jnp.int32)  # [B, G]
+        neg, gpos = lax.top_k(-bmin, n_seeds)  # [B, S] block ids
+        in_block = jnp.take_along_axis(barg, gpos, axis=1)
+        slot = gpos * block + in_block
+        score = -neg
+    else:
+        neg, slot = lax.top_k(-s, n_seeds)
+        score = -neg
+    seeds = jnp.where(
+        score < INF_SCORE,
+        jnp.take(upper_node, jnp.maximum(slot, 0), axis=0),
+        -1,
+    )
+    # no upper level yet: fall back to the entry node as the only seed
+    seeds = jnp.where(
+        jnp.any(seeds >= 0, axis=1, keepdims=True),
+        seeds,
+        jnp.broadcast_to(entry_node, seeds.shape),
+    )
+    return seeds, n_dist
+
+
 # ---------------------------------------------------------------------------
 # full search (descent + base beam + tombstone filter + exact rerank)
 # ---------------------------------------------------------------------------
@@ -418,21 +500,40 @@ def search_graph(
     n_seeds: int = 4,
     loop: str = "while",
     descent_steps: int | None = None,
+    traversal_vectors: jax.Array | None = None,
+    descent: str = "beam",  # "beam" | "mxu"
+    upper_vecs: jax.Array | None = None,  # required for descent="mxu"
+    upper_vec_sq: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """End-to-end ANN search. Returns (scores [B, k] ascending exact
-    index-metric values, ids [B, k] slot ids with -1 fill, n_dist [])."""
+    index-metric values, ids [B, k] slot ids with -1 fill, n_dist []).
+
+    traversal_vectors, if given, is a reduced-precision (bf16) copy of
+    ``vectors`` used for descent + beam scoring only — halving the
+    per-step gather bandwidth; the final rerank always reads the f32
+    store so emitted distances stay exact.
+
+    descent="mxu" routes through one exact matmul over all upper-level
+    nodes (mxu_descent) instead of the level-1 beam walk; upper_vecs /
+    upper_vec_sq must then hold the upper-slot vector table."""
     queries = queries.astype(jnp.float32)
     q_sq = jnp.sum(queries * queries, axis=-1)
+    trav = vectors if traversal_vectors is None else traversal_vectors
 
-    seeds, n_dist0 = beam_descent(
-        state, vectors, vec_sq, queries, q_sq, metric,
-        descent_ef=descent_ef, n_seeds=n_seeds,
-        descent_steps=descent_steps,
-    )
+    if descent == "mxu":
+        seeds, n_dist0 = mxu_descent(
+            upper_vecs, upper_vec_sq, state.upper_node, state.entry_node,
+            queries, q_sq, metric, n_seeds)
+    else:
+        seeds, n_dist0 = beam_descent(
+            state, trav, vec_sq, queries, q_sq, metric,
+            descent_ef=descent_ef, n_seeds=n_seeds,
+            descent_steps=descent_steps,
+        )
     ef_eff = max(ef, k)
     scores, ids, n_dist1 = beam_search(
         state,
-        vectors,
+        trav,
         vec_sq,
         queries,
         q_sq,

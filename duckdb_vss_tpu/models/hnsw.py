@@ -39,14 +39,34 @@ DEFAULT_BUILD_BATCH = 256
 @functools.partial(
     jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas",
                               "descent_ef", "n_seeds", "loop", "max_steps",
-                              "descent_steps"))
+                              "descent_steps", "descent"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                      expand=4, use_pallas=False, descent_ef=48, n_seeds=8,
-                     loop="while", max_steps=None, descent_steps=16):
+                     loop="while", max_steps=None, descent_steps=16,
+                     traversal_vectors=None, descent="beam",
+                     upper_vecs=None, upper_vec_sq=None):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
-                        max_steps=max_steps, descent_steps=descent_steps)
+                        max_steps=max_steps, descent_steps=descent_steps,
+                        traversal_vectors=traversal_vectors, descent=descent,
+                        upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq)
+
+
+@functools.partial(jax.jit, static_argnames=("level", "metric"))
+def _cluster_jit(state, vectors, vec_sq, queries, level, metric):
+    from duckdb_vss_tpu.models.graph import gather_scores, greedy_descent
+    from jax import lax
+
+    queries = queries.astype(jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1)
+    b = queries.shape[0]
+    stop = jnp.full((b,), level - 1, jnp.int32)
+    cur, _, nd = greedy_descent(state, vectors, vec_sq, queries, q_sq, stop,
+                                metric)
+    exact = gather_scores(vectors, vec_sq, cur[:, None], queries, q_sq,
+                          metric, precision=lax.Precision.HIGHEST)[:, 0]
+    return cur, exact, nd
 
 
 class HNSWIndex:
@@ -61,9 +81,27 @@ class HNSWIndex:
         build_batch: int = DEFAULT_BUILD_BATCH,
         build_expand: int = 2,
         build_prune: str = "diversity",
+        traversal_dtype: str | None = None,
     ):
         self.config = config or HNSWConfig()
         self.store = FlatIndex(dims, self.config.metric, capacity)
+        # reduced-precision traversal copy of the vector store (usearch's
+        # scalar-cast layer, index_dense.hpp:363-375, recast TPU-side:
+        # beam scoring gathers bf16 rows — half the HBM bytes — while the
+        # exact rerank and emitted distances stay f32)
+        import os as _os0
+        self.traversal_dtype = (traversal_dtype
+                                or _os0.environ.get("DVT_TRAVERSAL_DTYPE",
+                                                    "bf16"))
+        if self.traversal_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"traversal_dtype must be f32 or bf16, got "
+                f"{self.traversal_dtype!r}")
+        self._trav_cache: jax.Array | None = None
+        self._upper_cache: tuple[jax.Array, jax.Array] | None = None
+        # descent strategy: "mxu" (exact matmul over upper-level nodes)
+        # or "beam" (level-1 beam walk)
+        self.descent = _os0.environ.get("DVT_DESCENT", "mxu")
         self.graph = make_graph(
             self.store.capacity, self.config.m, self.config.m0)
         self.build_batch = int(build_batch)
@@ -108,10 +146,43 @@ class HNSWIndex:
         if self.store.capacity > self.graph.capacity:
             self.graph = grow_graph(self.graph, self.store.capacity)
 
+    def _traversal_vectors(self) -> jax.Array | None:
+        """bf16 traversal copy, rebuilt lazily after store mutations
+        (one full-array cast on device; cheap next to a graph build)."""
+        if self.traversal_dtype == "f32":
+            return None
+        if (self._trav_cache is None
+                or self._trav_cache.shape[0] != self.store.capacity):
+            self._trav_cache = self.store._vectors.astype(jnp.bfloat16)
+        return self._trav_cache
+
+    def _upper_vectors(self) -> tuple[jax.Array, jax.Array]:
+        """[cap_u, D] vector table of upper-level (level>=1) nodes for
+        the MXU descent, derived lazily from the store through the
+        graph's upper_node map. bf16 rows (routing only; seeds feed an
+        exact-reranked beam) + f32 squared norms."""
+        if self._upper_cache is None or (
+                self._upper_cache[0].shape[0]
+                != self.graph.upper_node.shape[0]):
+            node = self.graph.upper_node
+            safe = jnp.maximum(node, 0)
+            rows = jnp.take(self.store._vectors, safe, axis=0)
+            rows = jnp.where((node >= 0)[:, None], rows, 0.0)
+            self._upper_cache = (
+                rows.astype(jnp.bfloat16),
+                jnp.take(self.store._vec_sq, safe) * (node >= 0),
+            )
+        return self._upper_cache
+
     # ------------------------------------------------------------------
-    def add(self, vectors: np.ndarray, keys) -> np.ndarray:
+    def add(self, vectors: np.ndarray, keys, on_progress=None) -> np.ndarray:
         """Bulk/incremental insert (reference Construct,
-        hnsw_index.cpp:391-449). Returns assigned slot ids."""
+        hnsw_index.cpp:391-449). Returns assigned slot ids.
+
+        on_progress, if given, is called as on_progress(fraction) with the
+        build fraction in [0, 1] — the reference's task-level progress
+        reporting (hnsw_index_physical_create.cpp:308-323 GetSinkProgress,
+        build phase)."""
         vectors = np.asarray(vectors, np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
@@ -120,6 +191,8 @@ class HNSWIndex:
         graph_empty = int(jax.device_get(self.graph.entry_node)) < 0
         self.reserve(self.store.size + n)
         slots = self.store.add(vectors, keys)
+        self._trav_cache = None
+        self._upper_cache = None
         if self.store.capacity > self.graph.capacity:
             self.graph = grow_graph(self.graph, self.store.capacity)
         levels = self._sample_levels(n)
@@ -129,12 +202,16 @@ class HNSWIndex:
             # (PhysicalCreateHNSWIndex analog; models/bulk.py)
             from duckdb_vss_tpu.models.bulk import bulk_build
 
+            if on_progress is not None:
+                on_progress(0.0)
             self.graph = bulk_build(
                 self.store._vectors, self.store._vec_sq,
                 np.asarray(slots, np.int32), levels, self.config,
                 self.metric, host_vectors=vectors)
             self.build_distance_count += n * self.store.capacity  # exact sweep
             self.is_dirty = True
+            if on_progress is not None:
+                on_progress(1.0)
             return slots
 
         bb = self.build_batch
@@ -160,6 +237,8 @@ class HNSWIndex:
                 prune=self.build_prune,
             )
             nd_total = nd_total + nd
+            if on_progress is not None:
+                on_progress(min(1.0, (off + bb) / max(n, 1)))
         self.build_distance_count += int(jax.device_get(nd_total))
         self.is_dirty = True
         return slots
@@ -183,6 +262,8 @@ class HNSWIndex:
         descent_ef: int = 48,
         n_seeds: int = 8,
         chunk: int = 1024,
+        max_steps: int | None = None,
+        loop: str = "while",
     ) -> tuple[np.ndarray, np.ndarray]:
         """ANN top-k. ef defaults to config.ef_search and may be overridden
         per call (the hnsw_ef_search session setting,
@@ -199,10 +280,14 @@ class HNSWIndex:
         outs = []
         for off in range(0, b, chunk):
             q = self.store.prepare_queries(qarr[off : off + chunk])
+            uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
+                        else (None, None))
             outs.append((_hnsw_search_jit(
                 self.graph, self.store._vectors, self.store._vec_sq,
                 self.store._valid, q, int(k), ef_eff, self.metric, expand,
-                self.use_pallas, descent_ef, n_seeds),
+                self.use_pallas, descent_ef, n_seeds, loop, max_steps,
+                traversal_vectors=self._traversal_vectors(),
+                descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq),
                 min(chunk, b - off)))
         scores_list, keys_list, nd_total = [], [], 0
         for (scores, slots, nd), nb in outs:
@@ -221,10 +306,13 @@ class HNSWIndex:
                       ef: int | None = None, expand: int = 4):
         """Device-resident search: returns (scores, slots, n_dist)."""
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
+        uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
+                    else (None, None))
         return _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
             self.store._valid, queries_padded, int(k), ef_eff, self.metric,
-            expand)
+            expand, traversal_vectors=self._traversal_vectors(),
+            descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq)
 
     # ------------------------------------------------------------------
     def compact(self) -> None:
@@ -311,6 +399,8 @@ class HNSWIndex:
         st._key_to_slot = {int(k): i for i, k in enumerate(keys_np.tolist())}
         st._free_slots = []
         st._next_slot = n_live
+        self._trav_cache = None
+        self._upper_cache = None
         self.is_dirty = True
 
     # ------------------------------------------------------------------
@@ -397,3 +487,92 @@ class HNSWIndex:
         """All live member keys (export_keys analog)."""
         keys = self.store._keys
         return keys[keys >= 0].copy()
+
+    # ------------------------------------------------------------------
+    def cluster(self, queries: np.ndarray, level: int = 1,
+                chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+        """Nearest cluster head per query at an upper graph level.
+
+        usearch's k-level clustering (index_dense.hpp:1550+ cluster())
+        routes a vector down the hierarchy and reports the closest node
+        at the requested level — upper-layer nodes act as cluster heads.
+        level is clamped to [1, max_level]; an index with no upper
+        layers clusters everything to the entry node. Returns
+        (keys [B], scores [B]).
+        """
+        qarr = np.asarray(queries, np.float32)
+        if qarr.ndim == 1:
+            qarr = qarr[None, :]
+        b = qarr.shape[0]
+        max_level = int(jax.device_get(self.graph.max_level))
+        lvl = int(np.clip(level, 1, max(max_level, 1)))
+        keys_out = np.empty((b,), np.int64)
+        scores_out = np.empty((b,), np.float32)
+        nd_total = 0
+        for off in range(0, b, chunk):
+            q = self.store.prepare_queries(qarr[off : off + chunk])
+            nodes, scores, nd = _cluster_jit(
+                self.graph, self.store._vectors, self.store._vec_sq, q,
+                lvl, self.metric)
+            nodes_np, scores_np, nd_np = jax.device_get((nodes, scores, nd))
+            nb = min(chunk, b - off)
+            nodes_np = nodes_np[:nb]
+            keys_out[off : off + nb] = np.where(
+                nodes_np >= 0, self.store._keys[np.maximum(nodes_np, 0)],
+                np.int64(-1))
+            scores_out[off : off + nb] = scores_np[:nb]
+            nd_total += int(nd_np)
+        self.search_distance_count += nd_total
+        return keys_out, scores_out
+
+    def join(self, other: "HNSWIndex", k: int = 16,
+             ef: int | None = None) -> dict[int, int]:
+        """Stable-marriage semantic join against another index.
+
+        Parity with usearch's join() (index_dense.hpp:1498-1522, the
+        stable-marriage solver in index.hpp join_gt; unused by the
+        reference extension but part of the index surface). Members of
+        ``self`` propose to their nearest neighbors in ``other``;
+        Gale-Shapley over ANN preference lists of width k yields a
+        stable matching. Members whose preference list is exhausted stay
+        unmatched (absent from the result), matching usearch's bounded-
+        effort semantics. Returns {self_key: other_key}.
+        """
+        if self.metric != other.metric or self.dims != other.dims:
+            raise ValueError("join requires matching metric and dims")
+        men_keys = self.export_keys()
+        if len(men_keys) == 0 or len(other) == 0:
+            return {}
+        k_eff = min(int(k), len(other))
+        vecs = np.stack([self.store.get_vector(int(kk)) for kk in men_keys])
+        # preference lists: ANN top-k of each proposer in `other`
+        pref_scores, pref_keys = other.search(vecs, k_eff, ef=ef)
+
+        # Gale-Shapley (host; matching is not a hot path). Distance is
+        # symmetric for all three metrics, so the woman's ranking of a
+        # proposal is the same score the proposer computed.
+        next_choice = np.zeros(len(men_keys), np.int64)
+        engaged_to: dict[int, int] = {}  # other_key -> man index
+        engaged_score: dict[int, float] = {}
+        free = list(range(len(men_keys)))
+        while free:
+            m = free.pop()
+            while next_choice[m] < k_eff:
+                c = int(next_choice[m])
+                next_choice[m] += 1
+                w = int(pref_keys[m, c])
+                s = float(pref_scores[m, c])
+                if w < 0:
+                    continue
+                if w not in engaged_to:
+                    engaged_to[w] = m
+                    engaged_score[w] = s
+                    break
+                if s < engaged_score[w]:
+                    loser = engaged_to[w]
+                    engaged_to[w] = m
+                    engaged_score[w] = s
+                    free.append(loser)
+                    break
+                # else: rejected, try next preference
+        return {int(men_keys[m]): w for w, m in engaged_to.items()}

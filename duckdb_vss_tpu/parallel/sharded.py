@@ -437,8 +437,18 @@ class ShardedHNSWIndex:
 
         def shard_fn(graph, vectors, vec_sq, valid, q):
             st = _stack_state(graph)
+            # per-shard upper-level vector table for the MXU descent
+            # (gathered once per query batch; the descent matmul then
+            # routes every query exactly — see graph.mxu_descent)
+            node = st.upper_node
+            safe = jnp.maximum(node, 0)
+            uv = jnp.where((node >= 0)[:, None],
+                           jnp.take(vectors[0], safe, axis=0),
+                           0.0).astype(jnp.bfloat16)
+            uvsq = jnp.take(vec_sq[0], safe) * (node >= 0)
             scores, slots, _ = G.search_graph(
-                st, vectors[0], vec_sq[0], valid[0], q, k, ef, metric)
+                st, vectors[0], vec_sq[0], valid[0], q, k, ef, metric,
+                descent="mxu", upper_vecs=uv, upper_vec_sq=uvsq)
             sid = lax.axis_index("shard").astype(jnp.int32)
             gid = jnp.where(slots >= 0, sid * cap + slots, -1)
             all_s = lax.all_gather(scores, "shard", axis=0)

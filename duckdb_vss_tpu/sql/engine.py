@@ -259,8 +259,13 @@ class Database:
 
     # -- CREATE INDEX ----------------------------------------------------
     def create_hnsw_index(self, name: str, table_name: str, column: str,
-                          **options) -> IndexEntry:
-        """CREATE INDEX name ON table USING HNSW (column) WITH (options)."""
+                          on_progress=None, **options) -> IndexEntry:
+        """CREATE INDEX name ON table USING HNSW (column) WITH (options).
+
+        on_progress(phase, fraction) mirrors the reference's two-phase
+        sink progress — phase 'load' (buffering rows) then 'build'
+        (graph construction), each reported in [0, 1]
+        (hnsw_index_physical_create.cpp:308-323)."""
         if name in self.indexes:
             raise BinderError(f"index '{name}' already exists")
         if self.path is not None and not self.settings[
@@ -277,10 +282,16 @@ class Database:
                           capacity=max(table.row_count, 1024))
         # bulk build: scan -> project (vec, rowid) -> IS NOT NULL filter ->
         # construct (hnsw_index_plan.cpp:101-141)
+        if on_progress is not None:
+            on_progress("load", 0.0)
         ids = np.nonzero(table._live)[0].astype(np.int64)
         vecs, ids = table._gather_index_rows(column, ids)
+        if on_progress is not None:
+            on_progress("load", 1.0)
         if len(ids):
-            index.add(vecs, ids)
+            index.add(vecs, ids,
+                      on_progress=None if on_progress is None else
+                      (lambda f: on_progress("build", f)))
         entry = IndexEntry(name, table, column, index)
         self.indexes[name] = entry
         return entry

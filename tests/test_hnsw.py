@@ -181,3 +181,42 @@ def test_usearch_parity_helpers():
     # renamed key is returned by search
     _, got = idx.search(v[3], 1)
     assert got[0, 0] == 9000
+
+
+def test_cluster_routes_to_upper_nodes(built):
+    (idx, v, keys), rng = built
+    q = v[:64] + 0.01 * rng.normal(size=(64, v.shape[1])).astype(np.float32)
+    ckeys, cscores = idx.cluster(q, level=1)
+    levels = np.asarray(idx.graph.levels)
+    assert ckeys.shape == (64,) and cscores.shape == (64,)
+    # every cluster head must be a live node with level >= 1
+    for ck in ckeys.tolist():
+        assert ck >= 0
+        slot = idx.store._key_to_slot[ck]
+        assert levels[slot] >= 1
+    assert np.all(np.isfinite(cscores)) and np.all(cscores >= 0)
+
+
+def test_join_stable_marriage():
+    rng = np.random.default_rng(11)
+    d, n = 16, 300
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    a = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=128)
+    b = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=128)
+    a.add(base, np.arange(n))
+    # b holds slightly perturbed copies under shifted keys: the true
+    # matching is key -> key + 1000
+    b.add(base + 0.001 * rng.normal(size=(n, d)).astype(np.float32),
+          np.arange(n) + 1000)
+    matches = a.join(b, k=8)
+    # matching must be injective (stable marriage: one partner each)
+    assert len(set(matches.values())) == len(matches)
+    correct = sum(1 for ka, kb in matches.items() if kb == ka + 1000)
+    assert correct / n >= 0.90, f"{correct}/{n} correct pairs"
+
+
+def test_join_validates_metric():
+    a = HNSWIndex(8, HNSWConfig())
+    b = HNSWIndex(8, HNSWConfig(metric=MetricKind.COSINE))
+    with pytest.raises(ValueError):
+        a.join(b)

@@ -274,3 +274,20 @@ class TestOperatorAliases:
         assert "HNSW_INDEX_SCAN" in plan
         res = t.select("id").order_by(e).limit(1).execute()
         assert res["id"][0] == 3
+
+
+def test_create_index_progress_two_phase():
+    """Two-phase load/build progress (hnsw_index_physical_create.cpp:308-323)."""
+    from duckdb_vss_tpu.sql.engine import Database
+    rng = np.random.default_rng(3)
+    db = Database()
+    t = db.create_table("t", {"vec": ("FLOAT", 8)})
+    t.insert([{"vec": v} for v in
+              rng.normal(size=(300, 8)).astype(np.float32)])
+    events = []
+    db.create_hnsw_index("idx_p", "t", "vec",
+                         on_progress=lambda ph, f: events.append((ph, f)))
+    phases = [ph for ph, _ in events]
+    assert phases[0] == "load" and "build" in phases
+    build_fracs = [f for ph, f in events if ph == "build"]
+    assert build_fracs == sorted(build_fracs) and build_fracs[-1] == 1.0
