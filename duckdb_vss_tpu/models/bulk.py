@@ -9,11 +9,12 @@ and it plays to the MXU instead of to traversal:
    (ops/topk.flat_topk): a [QB, D] query block against every [block, D]
    vector block is pure Q·Vᵀ matmul — petaflops of useful work, no
    graph dependencies, embarrassingly parallel;
-2. an incremental-insertion "skeleton" over the ~1/M upper-level nodes
-   supplies the HNSW hierarchy and long-range highway edges;
+2. every upper level is itself an exact-kNN + diversity-prune graph over
+   its (geometrically shrinking) node subset (_build_upper_levels) — the
+   hierarchy costs a few extra matmuls, not serialized insertion;
 3. base-layer neighbor selection: per node, usearch's refine_ diversity
-   heuristic over (kNN ∪ reverse-kNN ∪ skeleton edges), batched over
-   node chunks, with keepPruned backfill;
+   heuristic over (kNN ∪ reverse-kNN ∪ level-1 highway edges), batched
+   over node chunks, with keepPruned backfill;
 4. a label-propagation + bridge-tree connectivity repair guarantees
    reachability from the entry point on clustered data.
 
@@ -85,6 +86,99 @@ def _reverse_candidates(knn_ids, knn_scores, rev_r):
     return out.at[row, col].set(jnp.where(keep, src, -1), mode="drop")
 
 
+def _build_upper_levels(
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    slots: np.ndarray,  # [n] int32
+    levels: np.ndarray,  # [n] int32 (clamped to L_MAX)
+    m: int,
+    metric: MetricKind,
+    cap: int,
+    query_block: int = 4096,
+):
+    """Every upper level as an exact-kNN + diversity-prune graph (MXU).
+
+    The reference grows upper layers by incremental insertion
+    (connect_node_across_levels_, usearch index.hpp:3227-3244). On TPU
+    that is a long chain of serialized beam steps over a tiny node set;
+    instead, the nodes at level >= L (a ~M^-L fraction) are treated as
+    their own flat store and given exact kNN lists via the blockwise
+    matmul sweep, pruned with the same refine_ diversity rule. Level 1
+    over 1/16 of a 1M index is a ~62k x 62k block matmul — milliseconds
+    of MXU time versus minutes of insertion. Lists are forward-only
+    (search descends; it never needs back-edges).
+
+    Returns (upper_neighbors [cap_u, L_MAX, m], upper_slot [cap],
+    upper_node [cap_u], upper_count, entry_node, max_level,
+    highways [cap, m] — the level-1 lists in global-slot space, used as
+    long-range candidates for the base layer).
+    """
+    cap_u = max(cap // UPPER_DIV, 64)
+    upper_mask = levels >= 1
+    up_slots = slots[upper_mask]
+    n_up = min(len(up_slots), cap_u)  # overflow clamps to level 0
+    up_slots = up_slots[:n_up]
+    upper_slot_np = np.full((cap,), -1, np.int32)
+    upper_slot_np[up_slots] = np.arange(n_up, dtype=np.int32)
+    upper_node_np = np.full((cap_u,), -1, np.int32)
+    upper_node_np[:n_up] = up_slots
+    un = jnp.full((cap_u, L_MAX, m), -1, jnp.int32)
+    highways = jnp.full((cap, m), -1, jnp.int32)
+    upper_slot_j = jnp.asarray(upper_slot_np)
+    # overflow-clamped nodes are level 0 everywhere (levels array, entry,
+    # max_level) so the graph stays self-consistent
+    lv_clamped = np.where(upper_slot_np[slots] >= 0, levels, 0)
+    max_level = int(lv_clamped.max()) if len(levels) else -1
+    if max_level < 0:
+        return (un, upper_slot_j, jnp.asarray(upper_node_np),
+                jnp.int32(0), jnp.int32(-1), jnp.int32(-1), highways,
+                lv_clamped)
+    entry = int(slots[lv_clamped == max_level][0])
+    for lv in range(1, min(max_level, L_MAX) + 1):
+        nodes_l = slots[lv_clamped >= lv]
+        n_l = len(nodes_l)
+        if n_l < 2:
+            continue
+        cap_s = max(256, 1 << (n_l - 1).bit_length())
+        pad_nodes = np.zeros((cap_s,), np.int32)
+        pad_nodes[:n_l] = nodes_l
+        nodes_j = jnp.asarray(pad_nodes)
+        row_live = jnp.arange(cap_s) < n_l
+        sub = jnp.take(vectors, nodes_j, axis=0)
+        sub = jnp.where(row_live[:, None], sub, 0.0)
+        sub_sq = jnp.take(vec_sq, nodes_j) * row_live
+        sub_bf = sub.astype(jnp.bfloat16)
+        k_l = min(2 * m, cap_s - 1)
+        block_n = cap_s if cap_s < 16384 else 16384
+        qb = query_block
+        for off in range(0, n_l, qb):
+            pos = jnp.arange(off, off + qb, dtype=jnp.int32)
+            pos = jnp.where(pos < n_l, pos, -1)
+            q_block = jnp.take(sub, jnp.maximum(pos, 0), axis=0)
+            sc, ids = _knn_block(q_block, pos, sub_bf, sub_sq, row_live,
+                                 k_l, metric, block_n)
+            sel = _prune_chunk(ids, sc, sub, sub_sq, m, metric)
+            sel_global = jnp.where(
+                sel >= 0, jnp.take(nodes_j, jnp.maximum(sel, 0)), -1)
+            chunk_nodes = jnp.take(
+                jnp.asarray(np.concatenate([nodes_l.astype(np.int32),
+                                            np.full((qb,), -1, np.int32)])),
+                jnp.arange(off, off + qb))
+            us_rows = jnp.where(
+                chunk_nodes >= 0,
+                jnp.take(upper_slot_j, jnp.maximum(chunk_nodes, 0)),
+                -1)
+            us_rows = jnp.where(us_rows >= 0, us_rows, jnp.int32(2**30))
+            un = un.at[us_rows, lv - 1].set(sel_global, mode="drop")
+            if lv == 1:
+                hw_rows = jnp.where(chunk_nodes >= 0, chunk_nodes,
+                                    jnp.int32(2**30))
+                highways = highways.at[hw_rows].set(sel_global, mode="drop")
+    return (un, upper_slot_j, jnp.asarray(upper_node_np),
+            jnp.int32(n_up), jnp.int32(entry), jnp.int32(max_level),
+            highways, lv_clamped)
+
+
 def bulk_build(
     vectors: jax.Array,  # [cap, D] padded store (first n rows live)
     vec_sq: jax.Array,
@@ -92,7 +186,7 @@ def bulk_build(
     levels: np.ndarray,  # [n] int32 sampled levels
     config: HNSWConfig,
     metric: MetricKind,
-    query_block: int = 4096,
+    query_block: int = 8192,
     knn_k: int = KNN_K,
     rev_r: int = REV_R,
     prune_chunk: int = 8192,
@@ -100,19 +194,16 @@ def bulk_build(
 ) -> GraphState:
     """Build a fresh GraphState over ``slots`` (an empty-graph bulk load).
 
-    Hybrid strategy:
-    - phase 0: the ~1/M fraction of nodes with level >= 1 is inserted
-      INCREMENTALLY (models/build.insert_batch), producing a proper HNSW
-      hierarchy: navigable upper levels plus long-range "highway" base
-      edges among the skeleton nodes — the part of graph quality a pure
-      kNN construction cannot provide;
+    All-MXU strategy (the analog of PhysicalCreateHNSWIndex's bulk path):
+    - phase 0: every upper level is an exact-kNN + diversity-prune graph
+      over its (geometrically shrinking) node subset
+      (_build_upper_levels) — no serialized insertion anywhere;
     - phase 1: exact kNN lists for all rows via the MXU blockwise sweep;
     - phase 2: per-node diversity prune over (kNN ∪ reverse-kNN ∪ the
-      node's phase-0 skeleton edges), with keepPruned backfill;
+      node's level-1 highway edges), with keepPruned backfill;
     - repair: weak-connectivity label propagation + bridge tree as a
       deterministic safety net for clustered data.
     """
-    from duckdb_vss_tpu.models.build import insert_batch
     from duckdb_vss_tpu.models.graph import make_graph
 
     cap = vectors.shape[0]
@@ -122,45 +213,42 @@ def bulk_build(
     slots = np.asarray(slots, np.int32)
     valid = jnp.zeros((cap,), jnp.bool_).at[jnp.asarray(slots)].set(True)
 
-    # ---- 0. incremental skeleton over level>=1 nodes ----------------
+    # ---- 0. upper levels: per-level exact kNN graphs ----------------
     state = make_graph(cap, m, m0)
-    upper_mask = levels >= 1
-    up_slots = slots[upper_mask]
-    up_levels = levels[upper_mask]
-    bb = 256
-    for off in range(0, len(up_slots), bb):
-        batch_slots = np.full((bb,), -1, np.int32)
-        batch_levels = np.zeros((bb,), np.int32)
-        chunk = up_slots[off : off + bb]
-        batch_slots[: len(chunk)] = chunk
-        batch_levels[: len(chunk)] = up_levels[off : off + bb]
-        state, _ = insert_batch(
-            state, vectors, vec_sq, jnp.asarray(batch_slots),
-            jnp.asarray(batch_levels), metric, m, m0,
-            config.ef_construction, expand=4)
-    skeleton_base = state.neighbors0  # highway edges among skeleton nodes
+    (un, upper_slot_j, upper_node_j, upper_count, entry, max_lv,
+     skeleton_base, lv_clamped) = _build_upper_levels(
+        vectors, vec_sq, slots, levels, m, metric, cap,
+        query_block=query_block)
 
-    # base-only nodes get level 0 in the final state
     lv_of_slot = np.full((cap,), -1, np.int32)
-    lv_of_slot[slots] = levels
-    state = state._replace(levels=jnp.asarray(lv_of_slot))
-    if len(up_slots) == 0 and n:
+    lv_of_slot[slots] = lv_clamped
+    state = state._replace(
+        upper_neighbors=un,
+        upper_slot=upper_slot_j,
+        upper_node=upper_node_j,
+        upper_count=upper_count,
+        levels=jnp.asarray(lv_of_slot),
+        entry_node=entry,
+        max_level=max_lv,
+    )
+    if int(jax.device_get(max_lv)) < 0 and n:
         state = state._replace(entry_node=jnp.int32(int(slots[0])),
                                max_level=jnp.int32(0))
 
-    # ---- 1. exact kNN sweep (MXU) -----------------------------------
+    # ---- 1. exact kNN sweep (MXU, bf16 table) -----------------------
     qb = query_block
     knn_ids = np.full((cap, knn_k), -1, np.int32)
     knn_sc = np.full((cap, knn_k), INF_SCORE, np.float32)
     block_n = min(16384, cap)
     slots_j = jnp.asarray(slots, jnp.int32)
+    vectors_bf = vectors.astype(jnp.bfloat16)
     for off in range(0, n, qb):
         chunk = slots_j[off : off + qb]
         pad = qb - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate([chunk, jnp.full((pad,), -1, jnp.int32)])
         q_block = jnp.take(vectors, jnp.maximum(chunk, 0), axis=0)
-        sc, ids = _knn_block(q_block, chunk, vectors, vec_sq, valid,
+        sc, ids = _knn_block(q_block, chunk, vectors_bf, vec_sq, valid,
                              knn_k, metric, block_n)
         sc_np, ids_np = jax.device_get((sc, ids))
         take = min(qb, n - off)

@@ -50,7 +50,9 @@ def flat_topk_dense(
 ) -> tuple[jax.Array, jax.Array]:
     """Single-matmul top-k for small N: [B, D] x [N, D] -> ([B, k], [B, k])."""
     precision = precision or jax.lax.Precision.HIGHEST
-    s = score_matrix(queries, vectors, metric, vec_sq=vec_sq,
+    q_f32 = queries.astype(jnp.float32)
+    s = score_matrix(q_f32.astype(vectors.dtype), vectors, metric,
+                     vec_sq=vec_sq, query_sq=sq_norms(q_f32),
                      precision=precision)
     if valid is not None:
         s = jnp.where(valid[None, :], s, INF_SCORE)
@@ -86,8 +88,12 @@ def flat_topk(
     assert n % block_n == 0, (n, block_n)
     nb = n // block_n
 
-    queries = queries.astype(jnp.float32)
-    q_sq = sq_norms(queries)
+    # norms in f32 always; the matmul runs in the vector table's dtype
+    # (a bf16 table — the bulk sweep — halves HBM traffic and doubles
+    # MXU rate; the f32 store keeps exact user-facing results)
+    q_f32 = queries.astype(jnp.float32)
+    q_sq = sq_norms(q_f32)
+    queries = q_f32.astype(vectors.dtype)
     if vec_sq is None:
         vec_sq = sq_norms(vectors)
     if valid is None:

@@ -220,3 +220,38 @@ def test_join_validates_metric():
     b = HNSWIndex(8, HNSWConfig(metric=MetricKind.COSINE))
     with pytest.raises(ValueError):
         a.join(b)
+
+
+def test_bulk_upper_levels_structure():
+    """The all-MXU bulk build must produce a coherent hierarchy: every
+    level>=1 node has an upper slot and a non-empty level-1 list whose
+    entries are themselves nodes, and the MXU-descent table matches."""
+    rng = np.random.default_rng(21)
+    n, d = 5000, 24
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n)
+    idx.add(v, np.arange(n))  # n >= bulk_threshold -> bulk path
+    levels = np.asarray(idx.graph.levels)
+    uslot = np.asarray(idx.graph.upper_slot)
+    unode = np.asarray(idx.graph.upper_node)
+    un = np.asarray(idx.graph.upper_neighbors)
+    uppers = np.nonzero(levels >= 1)[0]
+    assert len(uppers) > 0
+    assert int(idx.graph.max_level) >= 1
+    entry = int(idx.graph.entry_node)
+    assert levels[entry] == int(idx.graph.max_level)
+    for s in uppers.tolist():
+        us = uslot[s]
+        assert us >= 0 and unode[us] == s
+        lvl1 = un[us, 0]
+        assert (lvl1 >= 0).sum() > 0, f"node {s} has empty level-1 list"
+        tgt = lvl1[lvl1 >= 0]
+        assert np.all(levels[tgt] >= 1), "level-1 edge to a base-only node"
+        assert not np.any(tgt == s), "self edge"
+    # upper vector table used by the MXU descent is aligned with the map
+    uv, uvsq = idx._upper_vectors()
+    uv = np.asarray(uv, np.float32)
+    for us in (uslot[uppers[:8]]).tolist():
+        node = unode[us]
+        np.testing.assert_allclose(
+            uv[us, :d], v[node], rtol=2e-2, atol=2e-2)  # bf16 cast
