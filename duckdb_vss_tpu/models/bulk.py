@@ -45,10 +45,12 @@ RAND_S = 8  # pseudo-random small-world candidates per node
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
 def _knn_block(q_block, slots, vectors, vec_sq, valid, k, metric, block_n):
-    """Exact top-(k+1) for one query block, self-match removed."""
+    """Top-(k+1) for one query block, self-match removed. Per-block
+    selection uses the TPU's approximate top-k (see flat_topk approx) —
+    candidates feed graph construction, not user-facing results."""
     scores, ids = flat_topk(
         q_block, vectors, k + 1, metric, vec_sq=vec_sq, valid=valid,
-        block_n=block_n, precision=jax.lax.Precision.DEFAULT)
+        block_n=block_n, precision=jax.lax.Precision.DEFAULT, approx=True)
     self_hit = ids == slots[:, None]
     scores = jnp.where(self_hit, INF_SCORE, scores)
     ids = jnp.where(self_hit, -1, ids)
@@ -205,6 +207,21 @@ def bulk_build(
       deterministic safety net for clustered data.
     """
     from duckdb_vss_tpu.models.graph import make_graph
+    import os as _os
+    import time as _time
+
+    trace = _os.environ.get("DVT_BUILD_TRACE", "0") == "1"
+    _t0 = _time.time()
+
+    def _mark(phase):
+        nonlocal _t0
+        if trace:
+            # device queue is in-order: syncing a fresh trivial op drains
+            # everything enqueued by the finished phase
+            jax.block_until_ready(jnp.zeros(()) + 0)
+            now = _time.time()
+            print(f"# bulk_build {phase}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
 
     cap = vectors.shape[0]
     n = len(slots)
@@ -235,6 +252,7 @@ def bulk_build(
         state = state._replace(entry_node=jnp.int32(int(slots[0])),
                                max_level=jnp.int32(0))
 
+    _mark("phase0_upper_levels")
     # ---- 1. exact kNN sweep (MXU, bf16 table) -----------------------
     qb = query_block
     knn_ids = np.full((cap, knn_k), -1, np.int32)
@@ -257,6 +275,7 @@ def bulk_build(
     knn_ids_j = jnp.asarray(knn_ids)
     knn_sc_j = jnp.asarray(knn_sc)
 
+    _mark("phase1_knn_sweep")
     # ---- 2. reverse candidates + diversity prune to M0 --------------
     rev = _reverse_candidates(knn_ids_j, knn_sc_j, rev_r)  # [cap, rev_r]
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
@@ -269,6 +288,7 @@ def bulk_build(
             neighbors0, knn_ids_j, knn_sc_j, rev, skeleton_base,
             vectors, vec_sq, chunk, slots_j, m0, metric)
 
+    _mark("phase2_prune")
     # ---- 2.5 connectivity repair ------------------------------------
     labels = _component_labels(neighbors0, valid)
     labels_np = np.asarray(jax.device_get(labels))
@@ -277,6 +297,7 @@ def bulk_build(
             neighbors0, labels_np, np.asarray(host_vectors, np.float32),
             np.asarray(slots))
 
+    _mark("phase2.5_repair")
     return state._replace(neighbors0=neighbors0)
 
 

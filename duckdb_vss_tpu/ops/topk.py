@@ -69,6 +69,8 @@ def flat_topk(
     valid: jax.Array | None = None,
     block_n: int = 16384,
     precision=None,
+    approx: bool = False,
+    approx_recall: float = 0.95,
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming top-k: scan over [block_n, D] blocks with a running merge.
 
@@ -78,6 +80,12 @@ def flat_topk(
     precision defaults to HIGHEST (exact row parity); the bulk-build kNN
     sweep passes DEFAULT (bf16 MXU passes, ~6x the f32 throughput) since
     its candidates feed graph construction, not user-facing results.
+
+    approx=True swaps the per-block exact lax.top_k for the TPU's
+    hardware-tiled lax.approx_max_k (PartialReduce): per-block selection
+    is the sweep's wall-clock bound, and candidate lists feeding graph
+    construction tolerate ~2% per-block recall slack. User-facing search
+    paths must keep approx=False (exact row parity).
     """
     precision = precision or jax.lax.Precision.HIGHEST
     n, d = vectors.shape
@@ -112,7 +120,12 @@ def flat_topk(
         s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq,
                          precision=precision)
         s = jnp.where(va[None, :], s, INF_SCORE)
-        neg_top, pos = lax.top_k(-s, kc)
+        if approx:
+            neg_top, pos = lax.approx_max_k(-s, kc,
+                                            recall_target=approx_recall)
+            pos = pos.astype(jnp.int32)
+        else:
+            neg_top, pos = lax.top_k(-s, kc)
         blk_ids = pos.astype(jnp.int32) + off
         best_s, best_i = merge_topk(best_s, best_i, -neg_top, blk_ids, k)
         return (best_s, best_i), None
