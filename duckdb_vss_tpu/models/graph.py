@@ -389,45 +389,19 @@ def mxu_descent(
     produces are the EXACT nearest upper nodes, strictly better routing
     than any greedy walk. Returns (seeds [B, n_seeds], n_dist []).
     """
-    b = queries.shape[0]
-    cap_u = upper_vecs.shape[0]
-    dot = lax.dot_general(
-        queries.astype(upper_vecs.dtype),
-        upper_vecs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, cap_u]
-    if metric == MetricKind.IP:
-        s = 1.0 - dot
-    elif metric == MetricKind.L2SQ:
-        s = jnp.maximum(q_sq[:, None] - 2.0 * dot + upper_vec_sq[None, :], 0.0)
-    else:  # cosine
-        denom = jnp.sqrt(q_sq[:, None] * upper_vec_sq[None, :])
-        cos = dot / jnp.maximum(denom, _EPS)
-        s = 1.0 - cos
-        s = jnp.where(
-            (q_sq[:, None] <= 0.0) | (upper_vec_sq[None, :] <= 0.0), 1.0, s)
-        s = jnp.where(
-            (q_sq[:, None] <= 0.0) & (upper_vec_sq[None, :] <= 0.0), 0.0, s)
-    live = upper_node >= 0
-    s = jnp.where(live[None, :], s, INF_SCORE)
-    n_dist = jnp.sum(live.astype(jnp.int32)) * b
+    from duckdb_vss_tpu.ops.topk import flat_topk
 
-    # two-stage top-k: a full lax.top_k over cap_u is a partial sort of
-    # B x cap_u; instead take per-block minima first (upper slots are
-    # assigned in insertion order, uncorrelated with geometry, so block
-    # minima lose only same-block runners-up), then top-k over blocks.
-    if cap_u > 4096 and cap_u % block == 0 and n_seeds <= cap_u // block:
-        sb = s.reshape(b, cap_u // block, block)
-        bmin = jnp.min(sb, axis=2)  # [B, G]
-        barg = jnp.argmin(sb, axis=2).astype(jnp.int32)  # [B, G]
-        neg, gpos = lax.top_k(-bmin, n_seeds)  # [B, S] block ids
-        in_block = jnp.take_along_axis(barg, gpos, axis=1)
-        slot = gpos * block + in_block
-        score = -neg
-    else:
-        neg, slot = lax.top_k(-s, n_seeds)
-        score = -neg
+    b = queries.shape[0]
+    live = upper_node >= 0
+    n_dist = jnp.sum(live.astype(jnp.int32)) * b
+    # streaming blockwise selection: the [B, cap_u] score matrix never
+    # hits HBM (2 GB at B=2048, cap_u=256k), and per-block selection is
+    # the TPU's hardware approximate top-k — seeds feed a beam that
+    # reranks exactly, so per-block slack is immaterial
+    score, slot = flat_topk(
+        queries, upper_vecs, n_seeds, metric, vec_sq=upper_vec_sq,
+        valid=live, block_n=min(16384, upper_vecs.shape[0]),
+        precision=lax.Precision.DEFAULT, approx=True)
     seeds = jnp.where(
         score < INF_SCORE,
         jnp.take(upper_node, jnp.maximum(slot, 0), axis=0),
