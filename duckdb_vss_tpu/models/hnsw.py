@@ -53,6 +53,21 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq)
 
 
+@jax.jit
+def _isolate_jit(neighbors0, upper_neighbors, valid):
+    """Mask edges into tombstoned slots and pack live entries first."""
+
+    def drop(tbl):
+        ok = (tbl >= 0) & jnp.take(valid, jnp.maximum(tbl, 0))
+        t = jnp.where(ok, tbl, -1)
+        order = jnp.argsort(jnp.where(t >= 0, 0, 1), axis=-1, stable=True)
+        return jnp.take_along_axis(t, order, axis=-1)
+
+    sh = upper_neighbors.shape
+    return drop(neighbors0), drop(upper_neighbors.reshape(-1, sh[-1])
+                                  ).reshape(sh)
+
+
 @functools.partial(jax.jit, static_argnames=("level", "metric"))
 def _cluster_jit(state, vectors, vec_sq, queries, level, metric):
     from duckdb_vss_tpu.models.graph import gather_scores, greedy_descent
@@ -251,6 +266,20 @@ class HNSWIndex:
         if n:
             self.is_dirty = True
         return n
+
+    # ------------------------------------------------------------------
+    def isolate(self) -> None:
+        """Drop every edge pointing INTO a tombstoned node; tombstoned
+        nodes keep their outgoing edges (usearch isolate(),
+        index.hpp:3109-3146; index_dense.hpp:1447-1459). The reference
+        runs this as a parallel sweep over all neighbor lists — here it
+        is one masked gather + stable repack over the whole adjacency."""
+        nb0, un = _isolate_jit(self.graph.neighbors0,
+                               self.graph.upper_neighbors,
+                               self.store._valid)
+        self.graph = self.graph._replace(neighbors0=nb0,
+                                         upper_neighbors=un)
+        self.is_dirty = True
 
     # ------------------------------------------------------------------
     def search(

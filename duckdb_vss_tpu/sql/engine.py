@@ -126,6 +126,8 @@ class Table:
             vecs, ids = self._gather_index_rows(entry.column, rowids)
             if len(ids):
                 entry.index.add(vecs, ids)
+        if self.name in self.db.tables:  # macro temp tables are not logged
+            self.db._log({"op": "insert", "table": self.name, "rows": rows})
         return rowids
 
     def delete(self, predicate: E.Expr | None = None,
@@ -146,6 +148,9 @@ class Table:
                 entry.index.remove(
                     [r for r in np.asarray(rowids).tolist()
                      if entry.index.store._key_to_slot.get(int(r)) is not None])
+            if self.name in self.db.tables:
+                self.db._log({"op": "delete", "table": self.name,
+                              "rowids": np.asarray(rowids, np.int64)})
         return n
 
     def update(self, rowids, rows) -> np.ndarray:
@@ -230,6 +235,22 @@ class Database:
             "hnsw_ef_search": 0,  # 0 = use index default
             "hnsw_enable_experimental_persistence": False,
         }
+        # WAL (GetStorageInfo(to_wal) analog, hnsw_index.cpp:534-554):
+        # disk-backed databases log DML/DDL; checkpoint truncates;
+        # open_database replays records newer than the checkpoint.
+        self.wal = None
+        self._wal_replaying = False
+        if path is not None:
+            import os as _os
+
+            from duckdb_vss_tpu.utils.wal import WriteAheadLog
+
+            _os.makedirs(path, exist_ok=True)
+            self.wal = WriteAheadLog(_os.path.join(path, "vss.wal"))
+
+    def _log(self, record: dict) -> None:
+        if self.wal is not None and not self._wal_replaying:
+            self.wal.append(record)
 
     # -- catalog ---------------------------------------------------------
     def create_table(self, name: str, columns: dict) -> Table:
@@ -237,6 +258,10 @@ class Database:
             raise BinderError(f"table '{name}' already exists")
         t = Table(self, name, columns)
         self.tables[name] = t
+        self._log({"op": "create_table", "name": name,
+                   "columns": {c: (["FLOAT", ty.dims]
+                                   if isinstance(ty, VectorType) else ty)
+                               for c, ty in t.columns.items()}})
         return t
 
     def table(self, name: str) -> Table:
@@ -247,11 +272,13 @@ class Database:
                       if e.table.name == name]:
             del self.indexes[iname]
         del self.tables[name]
+        self._log({"op": "drop_table", "name": name})
 
     def set(self, key: str, value) -> None:
         if key not in self.settings:
             raise BinderError(f"unknown setting '{key}'")
         self.settings[key] = value
+        self._log({"op": "set", "key": key, "value": value})
 
     def indexes_on(self, table_name: str) -> list[IndexEntry]:
         return [e for e in self.indexes.values()
@@ -294,10 +321,13 @@ class Database:
                       (lambda f: on_progress("build", f)))
         entry = IndexEntry(name, table, column, index)
         self.indexes[name] = entry
+        self._log({"op": "create_index", "name": name, "table": table_name,
+                   "column": column, "options": options})
         return entry
 
     def drop_index(self, name: str) -> None:
         del self.indexes[name]
+        self._log({"op": "drop_index", "name": name})
 
     # -- pragmas ---------------------------------------------------------
     def pragma_hnsw_compact_index(self, name: str) -> None:
@@ -305,6 +335,7 @@ class Database:
             raise BinderError(
                 f"index '{name}' does not exist")
         self.indexes[name].index.compact()
+        self._log({"op": "compact_index", "name": name})
 
     def pragma_hnsw_index_info(self) -> list[dict]:
         out = []
@@ -645,21 +676,63 @@ def checkpoint_database(db: Database, directory: str | None = None) -> str:
             "table": e.table.name, "column": e.column}
     with open(_os.path.join(directory, "catalog.json"), "w") as f:
         json.dump(catalog, f)
+    # everything the WAL held is now in the checkpoint image
+    if db.wal is not None and directory == db.path:
+        db.wal.truncate()
     return directory
 
 
+def _apply_wal_record(db: Database, rec: dict) -> None:
+    op = rec["op"]
+    if op == "create_table":
+        db.create_table(rec["name"],
+                        {c: (tuple(ty) if isinstance(ty, list) else ty)
+                         for c, ty in rec["columns"].items()})
+    elif op == "drop_table":
+        db.drop_table(rec["name"])
+    elif op == "insert":
+        db.tables[rec["table"]].insert(rec["rows"])
+    elif op == "delete":
+        db.tables[rec["table"]].delete(rowids=rec["rowids"])
+    elif op == "create_index":
+        db.create_hnsw_index(rec["name"], rec["table"], rec["column"],
+                             **rec["options"])
+    elif op == "drop_index":
+        db.drop_index(rec["name"])
+    elif op == "compact_index":
+        db.pragma_hnsw_compact_index(rec["name"])
+    elif op == "set":
+        db.set(rec["key"], rec["value"])
+    else:  # forward compatibility: unknown records are skipped
+        pass
+
+
 def open_database(directory: str) -> Database:
-    """Restart: rebuild the catalog; index blobs load from the native
-    container (deferred via mmap page-in)."""
+    """Restart: rebuild the catalog from the last checkpoint (if any);
+    index blobs load from the native container (deferred via mmap
+    page-in); then replay WAL records appended since that checkpoint
+    (hnsw_insert_wal.test semantics — a database that was never
+    checkpointed restores entirely from the WAL)."""
     import json
     import os as _os
 
     from duckdb_vss_tpu.utils import persist as _persist
 
-    with open(_os.path.join(directory, "catalog.json")) as f:
-        catalog = json.load(f)
+    catalog_path = _os.path.join(directory, "catalog.json")
     db = Database(path=directory)
     db.settings["hnsw_enable_experimental_persistence"] = True
+    if not _os.path.exists(catalog_path):
+        db._wal_replaying = True
+        try:
+            for rec in db.wal.replay():
+                _apply_wal_record(db, rec)
+        finally:
+            db._wal_replaying = False
+        return db
+    with open(catalog_path) as f:
+        catalog = json.load(f)
+    # catalog restoration must not re-log into the (post-checkpoint) WAL
+    db._wal_replaying = True
     for tname, meta in catalog["tables"].items():
         cols = {
             c: (tuple(ty) if isinstance(ty, list) else ty)
@@ -686,4 +759,10 @@ def open_database(directory: str) -> Database:
         entry = IndexEntry(iname, db.tables[meta["table"]], meta["column"],
                            idx)
         db.indexes[iname] = entry
+    # operations newer than the checkpoint live in the WAL
+    try:
+        for rec in db.wal.replay():
+            _apply_wal_record(db, rec)
+    finally:
+        db._wal_replaying = False
     return db

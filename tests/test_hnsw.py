@@ -136,6 +136,37 @@ def test_slot_reuse_relinks():
     assert (got[:, 0] >= 20_000).mean() >= 0.9
 
 
+def test_isolate_prunes_edges_into_tombstones():
+    """usearch isolate(): edges INTO banned nodes disappear, outgoing
+    edges of banned nodes remain (index.hpp:3109-3146)."""
+    rng = np.random.default_rng(21)
+    idx, v, keys = build_index(rng, n=600)
+    dead = np.arange(0, 600, 6)
+    idx.remove(dead)
+    nb0 = np.asarray(idx.graph.neighbors0)
+    dead_set = set(dead.tolist())
+    assert any(x in dead_set for x in nb0[nb0 >= 0].tolist()), \
+        "tombstoned slots should still be linked before isolate()"
+    idx.isolate()
+    nb0 = np.asarray(idx.graph.neighbors0)
+    un = np.asarray(idx.graph.upper_neighbors)
+    assert not any(x in dead_set for x in nb0[nb0 >= 0].tolist())
+    assert not any(x in dead_set for x in un[un >= 0].tolist())
+    # live entries packed first: no -1 before a valid id in any row
+    first_hole = (nb0 < 0).argmax(axis=1)
+    for row, h in zip(nb0, first_hole):
+        if row[h] < 0:
+            assert (row[h:] < 0).all()
+    # search quality holds against brute force over the live set
+    q = rng.normal(size=(20, 32)).astype(np.float32)
+    live = np.setdiff1d(keys, dead)
+    flat = FlatIndex(32, MetricKind.L2SQ, capacity=len(live))
+    flat.add(v[live], live)
+    _, want = flat.search(q, 10)
+    _, got = idx.search(q, 10, ef=96)
+    assert recall_at_k(got, want) >= 0.85
+
+
 def test_compact_preserves_search():
     rng = np.random.default_rng(13)
     idx, v, keys = build_index(rng, n=700)
