@@ -267,9 +267,12 @@ def insert_batch_impl(
     self_mask = jnp.eye(b, dtype=jnp.bool_)
     peer_s = jnp.where(self_mask | ~active[None, :] | ~active[:, None],
                        INF_SCORE, peer_s)
-    _, peer_pos = lax.top_k(-peer_s, peer_k)
-    peer_ids = jnp.take(new_slots, peer_pos)  # [B, peer_k]
-    peer_levels = jnp.take(new_levels, peer_pos)
+    peer_neg, peer_pos = lax.top_k(-peer_s, peer_k)
+    # fewer than peer_k active peers: top_k returns arbitrary INF-masked
+    # positions (including self) — drop them or the batch seeds self-edges
+    peer_ok = -peer_neg < INF_SCORE
+    peer_ids = jnp.where(peer_ok, jnp.take(new_slots, peer_pos), -1)
+    peer_levels = jnp.where(peer_ok, jnp.take(new_levels, peer_pos), -1)
 
     n_dist = jnp.int32(0)
 
@@ -291,6 +294,9 @@ def insert_batch_impl(
             level=lvl, expand=1, active=active & touch,
         )
         n_dist = n_dist + nd
+        self_hit = ids == new_slots[:, None]  # never link a node to itself
+        ids = jnp.where(self_hit, -1, ids)
+        scores = jnp.where(self_hit, INF_SCORE, scores)
 
         sel = select_diverse(vectors, vec_sq, ids, scores, m, metric)
         sel = jnp.where(write_here[:, None], sel, -1)
@@ -339,6 +345,9 @@ def insert_batch_impl(
         level=0, expand=expand, active=active,
     )
     n_dist = n_dist + nd
+    self_hit = ids == new_slots[:, None]
+    ids = jnp.where(self_hit, -1, ids)
+    scores = jnp.where(self_hit, INF_SCORE, scores)
     sel = select_diverse(vectors, vec_sq, ids, scores, m0, metric)
     sel = jnp.where(active[:, None], sel, -1)
     neighbors0 = state.neighbors0.at[

@@ -154,6 +154,16 @@ def array_cosine_distance(a: jax.Array, b: jax.Array) -> jax.Array:
     return 1.0 - array_cosine_similarity(a, b)
 
 
+def array_value(*args) -> jax.Array:
+    """DuckDB array_value(a, b, ...): stack scalars/columns into vectors."""
+    arrs = [jnp.asarray(a, jnp.float32) for a in args]
+    rank = max(a.ndim for a in arrs)
+    if rank:
+        n = next(a.shape[0] for a in arrs if a.ndim)
+        arrs = [jnp.broadcast_to(a, (n,)) for a in arrs]
+    return jnp.stack(arrs, axis=-1)
+
+
 # Function name -> implementation, for the expression layer.
 SCALAR_FUNCTIONS = {
     "array_distance": array_distance,
@@ -161,6 +171,7 @@ SCALAR_FUNCTIONS = {
     "array_negative_inner_product": array_negative_inner_product,
     "array_cosine_similarity": array_cosine_similarity,
     "array_cosine_distance": array_cosine_distance,
+    "array_value": array_value,
 }
 
 # Metric-score -> SQL-function-value converters (for emitting the projected

@@ -252,6 +252,16 @@ class Database:
         if self.wal is not None and not self._wal_replaying:
             self.wal.append(record)
 
+    # -- SQL text surface ------------------------------------------------
+    def execute(self, sql: str):
+        """Execute a SQL script (the reference's L5 surface). Query
+        statements return a column batch dict; EXPLAIN returns the
+        physical plan string; DDL returns None."""
+        from duckdb_vss_tpu.sql.frontend import execute_sql
+        return execute_sql(self, sql)
+
+    sql = execute
+
     # -- catalog ---------------------------------------------------------
     def create_table(self, name: str, columns: dict) -> Table:
         if name in self.tables:

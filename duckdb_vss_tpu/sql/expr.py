@@ -103,6 +103,15 @@ class BinaryOp(Expr):
 
 
 @dataclasses.dataclass(eq=False, repr=False)
+class UnaryOp(Expr):
+    op: str
+    arg: Expr
+
+    def __repr__(self):
+        return f"({self.op} {self.arg!r})"
+
+
+@dataclasses.dataclass(eq=False, repr=False)
 class IsNotNull(Expr):
     arg: Expr
 
@@ -162,6 +171,8 @@ def canonicalize(e: Expr) -> Expr:
         return Aliased(canonicalize(e.expr), e.name)
     if isinstance(e, IsNotNull):
         return IsNotNull(canonicalize(e.arg))
+    if isinstance(e, UnaryOp):
+        return UnaryOp(e.op, canonicalize(e.arg))
     return e
 
 
@@ -199,6 +210,8 @@ def expr_columns(e: Expr) -> set[str]:
         return expr_columns(e.expr)
     if isinstance(e, IsNotNull):
         return expr_columns(e.arg)
+    if isinstance(e, UnaryOp):
+        return expr_columns(e.arg)
     return set()
 
 
@@ -234,15 +247,28 @@ def evaluate(e: Expr, batch: dict[str, np.ndarray]) -> np.ndarray:
         left = evaluate(e.left, batch)
         right = evaluate(e.right, batch)
         ops = {
+            "+": lambda a, b: a + b,
             "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: a / b,
+            "%": lambda a, b: a % b,
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
             "<": lambda a, b: a < b,
             "<=": lambda a, b: a <= b,
             ">": lambda a, b: a > b,
             ">=": lambda a, b: a >= b,
+            "and": lambda a, b: np.asarray(a, bool) & np.asarray(b, bool),
+            "or": lambda a, b: np.asarray(a, bool) | np.asarray(b, bool),
         }
         return ops[e.op](left, right)
+    if isinstance(e, UnaryOp):
+        v = evaluate(e.arg, batch)
+        if e.op == "-":
+            return -v
+        if e.op == "not":
+            return ~np.asarray(v, bool)
+        raise TypeError(f"unknown unary op {e.op}")
     if isinstance(e, IsNotNull):
         v = evaluate(e.arg, batch)
         if v.dtype == object:
