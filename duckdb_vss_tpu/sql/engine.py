@@ -234,6 +234,10 @@ class Database:
         self.settings = {
             "hnsw_ef_search": 0,  # 0 = use index default
             "hnsw_enable_experimental_persistence": False,
+            # PRAGMA disable_optimizer/enable_optimizer: gates the E8/E9/
+            # E10/E11 rewrites so plans fall back to brute-force scans
+            # (the reference tests toggle this for differential checks)
+            "optimizer_enabled": True,
         }
         # WAL (GetStorageInfo(to_wal) analog, hnsw_index.cpp:534-554):
         # disk-backed databases log DML/DDL; checkpoint truncates;
@@ -411,11 +415,18 @@ class QueryBuilder:
         """Build + optimize the physical plan (HNSWIndexScanOptimizer
         analog, hnsw_optimize_scan.cpp:29-98)."""
         select = self._select or [E.col(c) for c in self.tbl.columns]
-        order = E.canonicalize(self._order) if self._order is not None \
-            else None
+        optimize = self.tbl.db.settings.get("optimizer_enabled", True)
+        if optimize:
+            # E11 applies to every expression, not just ORDER BY — the
+            # reference EXPLAIN shows array_cosine_distance in plain
+            # projections too (hnsw_rewrite.test)
+            select = [E.canonicalize(s) for s in select]
+        order = self._order
+        if order is not None and optimize:
+            order = E.canonicalize(order)
 
         index_plan = None
-        if order is not None and self._limit is not None \
+        if optimize and order is not None and self._limit is not None \
                 and not self._order_desc:
             m = E.match_distance_call(order)
             if m is not None:

@@ -168,6 +168,14 @@ def _execute_pragma(db: Database, stmt: P.PragmaStmt):
         return None
     if stmt.name == "hnsw_index_info":
         return _info_batch(db)
+    # DuckDB-host pragmas the reference tests toggle for differential
+    # checks (indexed vs brute-force plans on identical data)
+    if stmt.name == "disable_optimizer":
+        db.settings["optimizer_enabled"] = False
+        return None
+    if stmt.name == "enable_optimizer":
+        db.settings["optimizer_enabled"] = True
+        return None
     raise BinderError(f"unknown pragma '{stmt.name}'")
 
 

@@ -260,3 +260,23 @@ def test_group_by_over_lateral():
          zip(res["aid"], res["n"], res["ids"])}
     assert m[1][0] == 2 and set(m[1][1]) == {0, 1}
     assert m[2][0] == 2 and set(m[2][1]) == {3, 4}
+
+
+def test_disable_optimizer_pragma(db):
+    """Reference tests toggle PRAGMA disable_optimizer to compare
+    indexed vs brute-force plans on the same data."""
+    db.execute("CREATE INDEX my_idx ON t1 USING HNSW (vec);")
+    q = ("SELECT vec FROM t1 ORDER BY "
+         "array_distance(vec, [1,2,3]::FLOAT[3]) LIMIT 3;")
+    db.execute("PRAGMA disable_optimizer;")
+    assert "HNSW_INDEX_SCAN" not in db.execute("EXPLAIN " + q)
+    brute = db.execute(q)
+    db.execute("PRAGMA enable_optimizer;")
+    assert "HNSW_INDEX_SCAN" in db.execute("EXPLAIN " + q)
+    indexed = db.execute(q)
+    # ties among equidistant rows may break differently — compare the
+    # distance profiles, not the exact rows
+    q_vec = np.array([1, 2, 3], dtype=np.float32)
+    d_brute = np.sort(((brute["vec"] - q_vec) ** 2).sum(axis=1))
+    d_index = np.sort(((indexed["vec"] - q_vec) ** 2).sum(axis=1))
+    np.testing.assert_allclose(d_brute, d_index)
