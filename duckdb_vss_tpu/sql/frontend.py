@@ -196,12 +196,14 @@ def _info_batch(db: Database):
 def execute_select(db: Database, sel: P.SelectStmt):
     items = sel.from_items
     if not items:
-        batch = {}
+        # FROM-less SELECT: each projection is one value of a single row —
+        # a 1-D result (array_value/list literal) is one vector cell, not
+        # a batch of scalars (hnsw_projection.test INSERT .. SELECT shape)
         out = {}
         for i, p in enumerate(sel.projections):
             name, e = _proj_name(p, i)
-            v = E.evaluate(e, batch)
-            out[name] = np.asarray([v]) if np.ndim(v) == 0 else np.asarray(v)
+            v = np.asarray(E.evaluate(e, {}))
+            out[name] = v[None, ...]
         return out
     if len(items) == 1 and isinstance(items[0], P.TableRef):
         return _select_table(db, sel, items[0])
@@ -679,6 +681,8 @@ def _explain(db: Database, sel: P.SelectStmt) -> str:
                 return qb.explain()
         qb = QueryBuilder(table)
         named = _expand_projections(sel.projections, list(table.columns))
+        alias_map = {n: e for n, e in named
+                     if not isinstance(e, E.ColumnRef)}
         for n, e in named:
             qb.select(e if isinstance(e, E.ColumnRef)
                       else E.Aliased(e, n) if not isinstance(e, E.Aliased)
@@ -686,7 +690,13 @@ def _explain(db: Database, sel: P.SelectStmt) -> str:
         if sel.where is not None:
             qb.where(_strip_qualifiers(sel.where, items[0]))
         if sel.order is not None:
-            qb.order_by(_strip_qualifiers(sel.order, items[0]),
+            order = sel.order
+            # ORDER BY <select alias> participates in the index-scan
+            # rewrite (hnsw_result.test EXPLAIN asserts this)
+            if isinstance(order, E.ColumnRef) and order.name in alias_map \
+                    and order.name not in table.columns:
+                order = alias_map[order.name]
+            qb.order_by(_strip_qualifiers(order, items[0]),
                         desc=sel.order_desc)
         if sel.limit is not None:
             qb.limit(sel.limit)

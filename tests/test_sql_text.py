@@ -280,3 +280,40 @@ def test_disable_optimizer_pragma(db):
     d_brute = np.sort(((brute["vec"] - q_vec) ** 2).sum(axis=1))
     d_index = np.sort(((indexed["vec"] - q_vec) ** 2).sum(axis=1))
     np.testing.assert_allclose(d_brute, d_index)
+
+
+def test_order_by_alias_uses_index(db):
+    """hnsw_result.test: EXPLAIN SELECT dist AS x ... ORDER BY x LIMIT k
+    must show the index scan; results are the sorted distances."""
+    db.execute("CREATE INDEX my_idx ON t1 USING HNSW (vec);")
+    plan = db.execute(
+        "EXPLAIN SELECT array_distance(vec, [1,2,3]::FLOAT[3]) as x "
+        "FROM t1 ORDER BY x LIMIT 3;")
+    assert "HNSW_INDEX_SCAN" in plan
+    res = db.execute("SELECT array_distance(vec, [1,2,3]::FLOAT[3]) as x "
+                     "FROM t1 ORDER BY x LIMIT 3;")
+    assert res["x"].tolist() == [0.0, 1.0, 1.0]
+
+
+def test_projection_shapes():
+    """hnsw_projection.test: every projection ordering over an index
+    scan, plus FROM-less INSERT..SELECT with vector constants."""
+    db = Database()
+    db.execute("CREATE TABLE embeddings (id INT, vec FLOAT[3]);")
+    db.execute("INSERT INTO embeddings SELECT 1, array_value(1,2,3);")
+    db.execute("INSERT INTO embeddings SELECT 2, array_value(4,5,6);")
+    db.execute("CREATE INDEX idx ON embeddings USING HNSW (vec);")
+    base = ("FROM embeddings ORDER BY "
+            "array_distance(vec, [1.0,2.0,3.0]::FLOAT[3]) LIMIT 1;")
+    for proj in ["*", "vec, id", "id", "id, vec"]:
+        res = db.execute(f"SELECT {proj} " + base)
+        assert int(np.asarray(res["id"])[0]) == 1
+    res = db.execute(
+        "SELECT id, vec, array_distance(vec, [1.0,2.0,3.0]::FLOAT[3]) "
+        "as dist FROM embeddings ORDER BY dist LIMIT 1;")
+    assert int(np.asarray(res["id"])[0]) == 1
+    assert float(res["dist"][0]) == 0.0
+    res = db.execute(
+        "SELECT array_distance(vec, [1.0,2.0,3.0]::FLOAT[3]) as dist, id "
+        "FROM embeddings ORDER BY dist LIMIT 1;")
+    assert float(res["dist"][0]) == 0.0
