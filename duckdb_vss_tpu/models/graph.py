@@ -529,8 +529,15 @@ def search_graph(
         precision=lax.Precision.HIGHEST,
     )
     exact = jnp.where(live & (scores < INF_SCORE), exact, INF_SCORE)
-    neg_top, pos = lax.top_k(-exact, k)
-    out_s = -neg_top
+    # deterministic tie order: equal exact distances resolve to the
+    # higher slot id (pre-sort by -id, then stable sort by score) —
+    # matches the reference suite's outcomes on tied integer grids
+    # (hnsw_topk.test:20-28)
+    ord0 = jnp.argsort(-ids, axis=1, stable=True)
+    exact = jnp.take_along_axis(exact, ord0, axis=1)
+    ids = jnp.take_along_axis(ids, ord0, axis=1)
+    pos = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+    out_s = jnp.take_along_axis(exact, pos, axis=1)
     out_i = jnp.take_along_axis(ids, pos, axis=1)
     out_i = jnp.where(out_s >= INF_SCORE, -1, out_i)
     return out_s, out_i, n_dist0 + n_dist1

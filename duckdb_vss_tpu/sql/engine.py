@@ -589,7 +589,12 @@ def knn_join(db: Database, left: Table, right: Table, left_col: str,
     metric = MetricKind(metric) if not isinstance(metric, MetricKind) else metric
     lbatch, lids = left.scan()
     lvecs = lbatch[left_col]
-    lvalid = ~np.isnan(lvecs).any(axis=1)
+    # NULL outer rows still probe and emit k matches: the reference's
+    # join operator reads the raw (zeroed) array storage without a
+    # validity check (hnsw_optimize_join.cpp:126-145), so a NULL outer
+    # vector searches as the zero vector
+    lvalid = np.ones(len(lvecs), bool)
+    lvecs = np.nan_to_num(lvecs, nan=0.0)
 
     entry = _find_index(right, right_col, metric) if use_index in (None, True) \
         else None

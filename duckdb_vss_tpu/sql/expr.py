@@ -84,6 +84,8 @@ class Constant(Expr):
 class FunctionCall(Expr):
     name: str
     args: list
+    # ordered-aggregate keys: list(x ORDER BY k1, k2)
+    order_by: list | None = None
 
     def __post_init__(self):
         self.name = OPERATOR_ALIASES.get(self.name, self.name).lower()
@@ -215,6 +217,33 @@ def expr_columns(e: Expr) -> set[str]:
     return set()
 
 
+# session RNG backing SQL setseed()/random() (DuckDB's generator stream
+# differs; tests depending on literal random() draws compare labeled
+# result sets instead — see sql/sqllogic.py)
+_SQL_RNG = np.random.default_rng(0)
+
+
+def _batch_rows(batch) -> int:
+    for v in batch.values():
+        return len(v)
+    return 1
+
+
+def _fn_setseed(args, n):
+    global _SQL_RNG
+    seed = float(args[0]) if args else 0.0
+    _SQL_RNG = np.random.default_rng(abs(int(seed * 2**31)))
+    return None if n == 1 else np.full(n, None, object)
+
+
+_ROW_CONTEXT_FUNCTIONS = {
+    "random": lambda args, n: _SQL_RNG.random(n),
+    "setseed": _fn_setseed,
+    "__window_row_number": lambda args, n: np.arange(1, n + 1,
+                                                     dtype=np.int64),
+}
+
+
 def evaluate(e: Expr, batch: dict[str, np.ndarray]) -> np.ndarray:
     """Evaluate an expression over a column batch (host numpy path —
     projections over <= a few thousand fetched rows, like the reference's
@@ -226,6 +255,14 @@ def evaluate(e: Expr, batch: dict[str, np.ndarray]) -> np.ndarray:
     if isinstance(e, Constant):
         return e.value
     if isinstance(e, FunctionCall):
+        if e.name in _ROW_CONTEXT_FUNCTIONS:
+            return _ROW_CONTEXT_FUNCTIONS[e.name](
+                [evaluate(a, batch) for a in e.args], _batch_rows(batch))
+        if e.name == "len":
+            v = evaluate(e.args[0], batch)
+            if isinstance(v, np.ndarray) and v.dtype == object:
+                return np.asarray([len(x) for x in v])
+            return len(v)
         impl = SCALAR_FUNCTIONS.get(e.name)
         if impl is None:
             raise KeyError(f"unknown function {e.name}")
@@ -261,7 +298,13 @@ def evaluate(e: Expr, batch: dict[str, np.ndarray]) -> np.ndarray:
             "and": lambda a, b: np.asarray(a, bool) & np.asarray(b, bool),
             "or": lambda a, b: np.asarray(a, bool) | np.asarray(b, bool),
         }
-        return ops[e.op](left, right)
+        res = ops[e.op](left, right)
+        # ARRAY comparison (vec = ARRAY[...]): reduce the elementwise
+        # result over the vector axis to one boolean per row
+        if e.op in ("=", "!=") and np.ndim(res) == 2:
+            res = np.asarray(res)
+            res = res.any(axis=1) if e.op == "!=" else res.all(axis=1)
+        return res
     if isinstance(e, UnaryOp):
         v = evaluate(e.arg, batch)
         if e.op == "-":

@@ -216,6 +216,11 @@ def execute_select(db: Database, sel: P.SelectStmt):
     if len(items) == 2 and isinstance(items[0], P.TableRef) \
             and isinstance(items[1], P.Lateral):
         return _select_lateral(db, sel, items[0], items[1].sub)
+    if len(items) == 2 and isinstance(items[0], P.TableRef) \
+            and isinstance(items[1], P.TableFunc) \
+            and items[1].name == "vss_match":
+        batch = _vss_match_lateral(db, items[0], items[1])
+        return _host_pipeline(db, sel, batch)
     raise BinderError("unsupported FROM clause shape")
 
 
@@ -312,6 +317,17 @@ def _strip_qualifiers(e, ref: P.TableRef):
     return e
 
 
+def _list_agg(e: E.FunctionCall, batch):
+    """list(x [ORDER BY k1, k2, ...]) over a column batch."""
+    vals = E.evaluate(e.args[0], batch)
+    vals = list(vals)
+    if getattr(e, "order_by", None):
+        keys = [np.asarray(E.evaluate(k, batch)) for k in e.order_by]
+        order = np.lexsort(tuple(reversed(keys)))
+        vals = [vals[i] for i in order]
+    return vals
+
+
 def _eval_aggregate(db: Database, table: Table, e, batch):
     """Evaluate an expression that may contain aggregate calls, over a
     full-table batch. Returns a host scalar / list."""
@@ -334,7 +350,7 @@ def _eval_aggregate(db: Database, table: Table, e, batch):
             v = E.evaluate(e.args[0], batch)
             return int(np.count_nonzero(~_null_mask(v)))
         if e.name == "list":
-            return list(E.evaluate(e.args[0], batch))
+            return _list_agg(e, batch)
         if e.name in ("sum", "avg", "min", "max"):
             v = np.asarray(E.evaluate(e.args[0], batch), np.float64)
             return {"sum": np.sum, "avg": np.mean, "min": np.min,
@@ -406,6 +422,38 @@ def _table_func(db: Database, tf: P.TableFunc):
     if tf.name == "pragma_hnsw_index_info":
         return _info_batch(db)
     raise BinderError(f"unknown table function '{tf.name}'")
+
+
+def _vss_match_lateral(db: Database, ref: P.TableRef, tf: P.TableFunc):
+    """FROM left, vss_match(right, left_col, right_col, k[, metric]) —
+    one `matches` list of {'score', 'row'} structs per outer row
+    (VSS_MATCH_MACRO, hnsw_index_macros.cpp:48-75)."""
+    def _name(a):
+        return a.name if isinstance(a, E.ColumnRef) else str(P._const_value(a))
+
+    lt = db.table(ref.name)
+    rt = db.table(_name(tf.args[0]))
+    lcol, rcol = _name(tf.args[1]), _name(tf.args[2])
+    k = int(P._const_value(tf.args[3]))
+    metric = str(P._const_value(tf.args[4])) if len(tf.args) > 4 else "l2sq"
+
+    from duckdb_vss_tpu.sql.engine import knn_join
+    flat = knn_join(db, lt, rt, lcol, rcol, k, metric=metric,
+                    use_index=False)
+    lbatch, _ = lt.scan()
+    n = len(next(iter(lbatch.values()), []))
+    # regroup the flattened join output into per-outer-row match lists
+    rcols = [c for c in flat if c.startswith("right_")]
+    matches: list = [[] for _ in range(n)]
+    probe = 0
+    for i in range(len(flat["score"])):
+        if flat["row_num"][i] == 1 and i > 0:
+            probe += 1
+        row = {c[len("right_"):]: flat[c][i] for c in rcols}
+        matches[probe].append({"score": flat["score"][i], "row": row})
+    out = {c: v for c, v in lbatch.items()}
+    out["matches"] = np.asarray([m for m in matches], dtype=object)
+    return out
 
 
 def _range_cross(items: list) -> dict:
@@ -496,7 +544,7 @@ def _eval_batch_aggregate(e, batch):
             v = E.evaluate(e.args[0], batch)
             return int(np.count_nonzero(~_null_mask(v)))
         if e.name == "list":
-            return list(E.evaluate(e.args[0], batch))
+            return _list_agg(e, batch)
         if e.name in ("sum", "avg", "min", "max"):
             v = np.asarray(E.evaluate(e.args[0], batch), np.float64)
             return {"sum": np.sum, "avg": np.mean, "min": np.min,

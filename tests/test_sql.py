@@ -221,7 +221,12 @@ class TestJoins:
         plan = explain_knn_join(db, a, b, "v", "v", 3)
         assert "HNSW_INDEX_JOIN" in plan
 
-    def test_knn_join_null_outer_rows_skipped(self):
+    def test_knn_join_null_outer_probes_as_zero(self):
+        """NULL outer rows still emit k matches, probed as the zero
+        vector — the reference's join operator reads raw (zeroed) array
+        storage without a validity check
+        (hnsw_optimize_join.cpp:126-145; hnsw_lateral_join.test:60-75
+        pins 3 output groups with a NULL outer row present)."""
         rng = np.random.default_rng(5)
         db = Database()
         a = db.create_table("a", {"aid": "BIGINT", "v": ("FLOAT", 4)})
@@ -231,7 +236,12 @@ class TestJoins:
         b.insert({"bid": np.arange(10),
                   "v": list(rng.normal(size=(10, 4)).astype(np.float32))})
         out = knn_join(db, a, b, "v", "v", 2, use_index=False)
-        assert set(out["left_aid"].tolist()) == {0}
+        assert set(out["left_aid"].tolist()) == {0, 1}
+        # the NULL probe's matches are the nearest rows to the origin
+        null_rows = out["right_bid"][out["left_aid"] == 1]
+        bb, _ = b.scan()
+        want = np.argsort((bb["v"] ** 2).sum(1))[:2]
+        assert set(null_rows.tolist()) == set(bb["bid"][want].tolist())
 
     def test_knn_join_k_guard(self):
         db = Database()
