@@ -112,6 +112,40 @@ def main():
     timed("full search_graph (while loop, ef=16)",
           full, state, vecs, vec_sq, valid, q, trav, uv, uvsq)
 
+    # 5. full search with the augmented traversal table (one gather/step)
+    from duckdb_vss_tpu.models.graph import make_aug_table
+
+    aug = jax.jit(partial(make_aug_table, metric=MetricKind.L2SQ))(
+        vecs, vec_sq)
+
+    def _full_aug(state, vecs, vec_sq, valid, q, augt, uv, uvsq):
+        return search_graph(
+            state, vecs, vec_sq, valid, q, k=10, ef=16,
+            metric=MetricKind.L2SQ, expand=4, n_seeds=8, descent="mxu",
+            aug_table=augt, upper_vecs=uv, upper_vec_sq=uvsq)
+
+    full_aug = jax.jit(_full_aug)
+    timed("full search_graph AUG (while loop, ef=16)",
+          full_aug, state, vecs, vec_sq, valid, q, aug, uv, uvsq)
+
+    # 6. beam scan step cost with aug scoring
+    from duckdb_vss_tpu.models.graph import make_aug_queries
+
+    q_aug, bias = jax.jit(partial(make_aug_queries,
+                                  metric=MetricKind.L2SQ,
+                                  d_aug=aug.shape[1]))(q, q_sq)
+    seeds2 = jnp.asarray(rng.integers(0, n, (b, 8)).astype(np.int32))
+    for steps in (2, 8):
+        f = jax.jit(partial(
+            beam_search, ef=16, metric=MetricKind.L2SQ, level=0, expand=4,
+            max_steps=steps, loop="scan", aug=True))
+        t = timed(f"beam scan AUG {steps} steps (ef=16 expand=4)",
+                  f, state, aug, vec_sq, q_aug, bias, seeds2)
+        if steps == 2:
+            t2 = t
+    print(f"--> marginal per-step cost AUG: {(t - t2)/6*1e3:.2f} ms",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

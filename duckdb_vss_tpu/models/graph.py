@@ -112,13 +112,23 @@ def gather_scores(
     q_sq: jax.Array,  # [B]
     metric: MetricKind,
     precision=lax.Precision.DEFAULT,
+    aug: bool = False,
 ) -> jax.Array:
     """Index-metric scores of gathered candidates: [B, C].
 
     ``vectors`` may be a reduced-precision (bf16) traversal copy: the
     dot runs in the table's dtype with f32 accumulation; vec_sq stays
     f32. Callers needing exact emitted distances rerank against the f32
-    store (search_graph does)."""
+    store (search_graph does).
+
+    ``aug=True``: ``vectors`` is an AUGMENTED traversal table whose rows
+    already fold the member-side metric terms into the dot (see
+    make_aug_table); score = dot + q_sq (q_sq then carries the
+    query-side bias). This halves the hot loop's row-gathers — the TPU's
+    per-gathered-row cost (~5-9 ns/row, measured in
+    benchmarks/profile_step.py) dominates beam-step latency, and the
+    separate [B, C] vec_sq gather costs as much as the vector gather
+    despite moving 64x fewer bytes."""
     safe = jnp.maximum(ids, 0)
     vecs = jnp.take(vectors, safe, axis=0)  # [B, C, D]
     dot = lax.dot_general(
@@ -128,6 +138,8 @@ def gather_scores(
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # [B, C]
+    if aug:
+        return dot + q_sq[:, None]
     if metric == MetricKind.IP:
         return 1.0 - dot
     v_sq = jnp.take(vec_sq, safe, axis=0)
@@ -141,6 +153,79 @@ def gather_scores(
         score = jnp.where((q_sq[:, None] <= 0.0) & (v_sq <= 0.0), 0.0, score)
         return score
     raise ValueError(f"unknown metric {metric}")
+
+
+def aug_width(d_pad: int, metric: MetricKind) -> int:
+    """Lane width of the augmented traversal table (multiple of 128)."""
+    if metric == MetricKind.L2SQ:
+        # needs 2 extra lanes for the hi/lo split of |v|^2
+        from duckdb_vss_tpu.utils.padding import pad_dim
+
+        return pad_dim(d_pad + 2)
+    return d_pad
+
+
+def make_aug_table(
+    vectors: jax.Array,  # [cap, d_pad] f32 store (zero-padded past dims)
+    vec_sq: jax.Array,  # [cap] f32
+    metric: MetricKind,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Augmented traversal table: one bf16 row per member that folds ALL
+    member-side metric terms into a single dot product, so the beam's
+    hot loop does exactly one row-gather per candidate.
+
+      l2sq:   row = [-2v | hi(|v|^2), lo(|v|^2)] ; q_aug = [q | 1, 1]
+              dot = |v|^2 - 2 v.q ; + bias (= |q|^2) = exact l2sq.
+              |v|^2 is split into two bf16 lanes (hi + exact residual)
+              to keep ~16 mantissa bits — a single bf16 norm (8 bits)
+              visibly costs traversal recall.
+      ip:     row = [-v];        q_aug = [q];      bias 1  -> 1 - v.q
+      cosine: row = [-v/|v|];    q_aug = [q/|q|];  bias 1  -> 1 - cos
+              (zero-norm rows stay 0: score saturates at the bias, and
+              the exact rerank restores usearch's zero-norm cases)
+
+    The proxy is monotone in the true metric per query (for cosine it IS
+    the true distance up to f.p. error), so beam ranking/convergence are
+    unaffected; emitted distances always come from the f32 rerank.
+    """
+    cap, d_pad = vectors.shape
+    d_aug = aug_width(d_pad, metric)
+    if metric == MetricKind.L2SQ:
+        rows = -2.0 * vectors
+        hi = vec_sq.astype(dtype)
+        lo = (vec_sq - hi.astype(jnp.float32)).astype(dtype)
+        out = jnp.zeros((cap, d_aug), dtype)
+        out = out.at[:, :d_pad].set(rows.astype(dtype))
+        out = out.at[:, d_pad].set(hi)
+        out = out.at[:, d_pad + 1].set(lo)
+        return out
+    if metric == MetricKind.IP:
+        return (-vectors).astype(dtype)
+    # cosine
+    inv = lax.rsqrt(jnp.maximum(vec_sq, _EPS))
+    return (-vectors * inv[:, None]).astype(dtype)
+
+
+def make_aug_queries(
+    queries: jax.Array,  # [B, d_pad] f32 (zero-padded past dims)
+    q_sq: jax.Array,  # [B]
+    metric: MetricKind,
+    d_aug: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Query-side counterpart of make_aug_table: (q_aug [B, d_aug] f32,
+    bias [B] f32) such that proxy_score = dot(row_aug, q_aug) + bias."""
+    b, d_pad = queries.shape
+    if metric == MetricKind.L2SQ:
+        q_aug = jnp.zeros((b, d_aug), jnp.float32)
+        q_aug = q_aug.at[:, :d_pad].set(queries)
+        q_aug = q_aug.at[:, d_pad].set(1.0)
+        q_aug = q_aug.at[:, d_pad + 1].set(1.0)
+        return q_aug, q_sq
+    if metric == MetricKind.IP:
+        return queries, jnp.ones_like(q_sq)
+    inv = lax.rsqrt(jnp.maximum(q_sq, _EPS))
+    return queries * inv[:, None], jnp.ones_like(q_sq)
 
 
 def fetch_upper_neighbors(state: GraphState, ids: jax.Array, level) -> jax.Array:
@@ -249,10 +334,15 @@ def beam_search(
     active: jax.Array | None = None,  # [B] bool; inactive queries do nothing
     use_pallas: bool = False,  # fused DMA gather+score kernel (TPU only)
     loop: str = "while",  # "while" (early exit) | "scan" | "unroll"
+    aug: bool = False,  # vectors/queries/q_sq are augmented (make_aug_table)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched best-first beam search. Returns (scores [B, ef] ascending,
     ids [B, ef], n_dist []). Tombstones are NOT filtered here (matches
     usearch: the filter predicate applies to results, not traversal).
+
+    aug=True: ``vectors`` is an augmented traversal table, ``queries``
+    its matching q_aug and ``q_sq`` the per-query bias (make_aug_table /
+    make_aug_queries) — one row-gather per candidate instead of two.
     """
     b, p = entry_nodes.shape
     base = isinstance(level, int) and level == 0
@@ -263,7 +353,8 @@ def beam_search(
 
     # init beam from entry points
     seed_valid = (entry_nodes >= 0) & active[:, None]
-    seed_s = gather_scores(vectors, vec_sq, entry_nodes, queries, q_sq, metric)
+    seed_s = gather_scores(vectors, vec_sq, entry_nodes, queries, q_sq,
+                           metric, aug=aug)
     seed_s = jnp.where(seed_valid, seed_s, INF_SCORE)
     # dedup seeds (same entry may be given twice)
     dup = jnp.triu(
@@ -320,13 +411,14 @@ def beam_search(
         ).any(axis=1)
         keep = valid & ~in_beam & ~dup_new
 
-        if use_pallas:
+        if use_pallas and not aug:
             from duckdb_vss_tpu.ops.pallas_gather import gather_scores_pallas
 
             s = gather_scores_pallas(
                 vectors, jnp.where(keep, nbrs, -1), queries, q_sq, metric)
         else:
-            s = gather_scores(vectors, vec_sq, nbrs, queries, q_sq, metric)
+            s = gather_scores(vectors, vec_sq, nbrs, queries, q_sq, metric,
+                              aug=aug)
         s = jnp.where(keep, s, INF_SCORE)
         n_dist = n_dist + jnp.sum(keep.astype(jnp.int32))
 
@@ -478,6 +570,7 @@ def search_graph(
     descent: str = "beam",  # "beam" | "mxu"
     upper_vecs: jax.Array | None = None,  # required for descent="mxu"
     upper_vec_sq: jax.Array | None = None,
+    aug_table: jax.Array | None = None,  # augmented traversal (make_aug_table)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """End-to-end ANN search. Returns (scores [B, k] ascending exact
     index-metric values, ids [B, k] slot ids with -1 fill, n_dist []).
@@ -486,6 +579,11 @@ def search_graph(
     ``vectors`` used for descent + beam scoring only — halving the
     per-step gather bandwidth; the final rerank always reads the f32
     store so emitted distances stay exact.
+
+    aug_table, if given, supersedes traversal_vectors for the BASE beam:
+    an augmented bf16 table (make_aug_table) folding the member-side
+    metric terms into the row, so traversal needs one gather per
+    candidate instead of two (vector + vec_sq).
 
     descent="mxu" routes through one exact matmul over all upper-level
     nodes (mxu_descent) instead of the level-1 beam walk; upper_vecs /
@@ -505,12 +603,18 @@ def search_graph(
             descent_steps=descent_steps,
         )
     ef_eff = max(ef, k)
+    if aug_table is not None:
+        q_aug, bias = make_aug_queries(
+            queries, q_sq, metric, aug_table.shape[1])
+        beam_tab, beam_q, beam_qsq, beam_vsq = aug_table, q_aug, bias, vec_sq
+    else:
+        beam_tab, beam_q, beam_qsq, beam_vsq = trav, queries, q_sq, vec_sq
     scores, ids, n_dist1 = beam_search(
         state,
-        trav,
-        vec_sq,
-        queries,
-        q_sq,
+        beam_tab,
+        beam_vsq,
+        beam_q,
+        beam_qsq,
         seeds,
         ef_eff,
         metric,
@@ -519,6 +623,7 @@ def search_graph(
         max_steps=max_steps,
         use_pallas=use_pallas,
         loop=loop,
+        aug=aug_table is not None,
     )
     # tombstone filter (usearch injects an `allow` predicate over results,
     # index_dense.hpp:1797-1827) then exact rerank at HIGHEST precision so

@@ -44,13 +44,14 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                      expand=4, use_pallas=False, descent_ef=48, n_seeds=8,
                      loop="while", max_steps=None, descent_steps=16,
                      traversal_vectors=None, descent="beam",
-                     upper_vecs=None, upper_vec_sq=None):
+                     upper_vecs=None, upper_vec_sq=None, aug_table=None):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
                         max_steps=max_steps, descent_steps=descent_steps,
                         traversal_vectors=traversal_vectors, descent=descent,
-                        upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq)
+                        upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq,
+                        aug_table=aug_table)
 
 
 @jax.jit
@@ -113,6 +114,7 @@ class HNSWIndex:
                 f"traversal_dtype must be f32 or bf16, got "
                 f"{self.traversal_dtype!r}")
         self._trav_cache: jax.Array | None = None
+        self._aug_cache: jax.Array | None = None
         self._upper_cache: tuple[jax.Array, jax.Array] | None = None
         # descent strategy: "mxu" (exact matmul over upper-level nodes)
         # or "beam" (level-1 beam walk)
@@ -128,6 +130,13 @@ class HNSWIndex:
         # fused DMA gather+score Pallas kernel for traversal (TPU only)
         import os as _os
         self.use_pallas = _os.environ.get("DVT_PALLAS", "0") == "1"
+        # augmented traversal table (one gather/candidate instead of two;
+        # graph.make_aug_table). Default OFF: measured on 1M x 128
+        # clustered data it costs ~2.4pp recall@10 at the default ef=16
+        # operating point (0.9625 vs 0.9860; benchmarks/sweep_search.py)
+        # for only ~10% step-time gain — at wider operating points
+        # (ef=32, expand=8, 4 steps) recall matches (0.9950 both arms)
+        self.use_aug = _os.environ.get("DVT_AUG", "0") == "1"
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -162,14 +171,30 @@ class HNSWIndex:
             self.graph = grow_graph(self.graph, self.store.capacity)
 
     def _traversal_vectors(self) -> jax.Array | None:
-        """bf16 traversal copy, rebuilt lazily after store mutations
-        (one full-array cast on device; cheap next to a graph build)."""
+        """Plain bf16 traversal copy for the beam-descent path, rebuilt
+        lazily after store mutations."""
         if self.traversal_dtype == "f32":
             return None
         if (self._trav_cache is None
                 or self._trav_cache.shape[0] != self.store.capacity):
             self._trav_cache = self.store._vectors.astype(jnp.bfloat16)
         return self._trav_cache
+
+    def _aug_table(self) -> jax.Array | None:
+        """Augmented bf16 traversal table (graph.make_aug_table): folds
+        the member-side metric terms into each row so base-beam scoring
+        needs ONE row-gather per candidate. Rebuilt lazily after store
+        mutations."""
+        if self.traversal_dtype == "f32" or not self.use_aug:
+            return None
+        if (self._aug_cache is None
+                or self._aug_cache.shape[0] != self.store.capacity):
+            from duckdb_vss_tpu.models.graph import make_aug_table
+
+            self._aug_cache = jax.jit(
+                make_aug_table, static_argnames=("metric",))(
+                    self.store._vectors, self.store._vec_sq, self.metric)
+        return self._aug_cache
 
     def _upper_vectors(self) -> tuple[jax.Array, jax.Array]:
         """[cap_u, D] vector table of upper-level (level>=1) nodes for
@@ -207,6 +232,7 @@ class HNSWIndex:
         self.reserve(self.store.size + n)
         slots = self.store.add(vectors, keys)
         self._trav_cache = None
+        self._aug_cache = None
         self._upper_cache = None
         if self.store.capacity > self.graph.capacity:
             self.graph = grow_graph(self.graph, self.store.capacity)
@@ -315,8 +341,11 @@ class HNSWIndex:
                 self.graph, self.store._vectors, self.store._vec_sq,
                 self.store._valid, q, int(k), ef_eff, self.metric, expand,
                 self.use_pallas, descent_ef, n_seeds, loop, max_steps,
-                traversal_vectors=self._traversal_vectors(),
-                descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq),
+                traversal_vectors=(self._traversal_vectors()
+                                   if (self.descent == "beam"
+                                       or not self.use_aug) else None),
+                descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
+                aug_table=self._aug_table()),
                 min(chunk, b - off)))
         scores_list, keys_list, nd_total = [], [], 0
         for (scores, slots, nd), nb in outs:
@@ -340,8 +369,11 @@ class HNSWIndex:
         return _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
             self.store._valid, queries_padded, int(k), ef_eff, self.metric,
-            expand, traversal_vectors=self._traversal_vectors(),
-            descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq)
+            expand, traversal_vectors=(self._traversal_vectors()
+                                       if (self.descent == "beam"
+                                           or not self.use_aug) else None),
+            descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
+            aug_table=self._aug_table())
 
     # ------------------------------------------------------------------
     def compact(self) -> None:
@@ -429,6 +461,7 @@ class HNSWIndex:
         st._free_slots = []
         st._next_slot = n_live
         self._trav_cache = None
+        self._aug_cache = None
         self._upper_cache = None
         self.is_dirty = True
 

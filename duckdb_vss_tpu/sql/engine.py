@@ -82,6 +82,8 @@ class Table:
         self._live: list[bool] = []
         self._flat_cache: dict[str, FlatIndex] = {}
         self._flat_dirty: set[str] = set(self.vector_columns())
+        # changed since the last checkpoint (block-image dirty flag)
+        self._ckpt_dirty = True
 
     # -- schema helpers ------------------------------------------------
     def vector_columns(self) -> list[str]:
@@ -122,6 +124,7 @@ class Table:
             self._live.append(True)
         rowids = np.arange(start, len(self._live), dtype=np.int64)
         self._flat_dirty |= set(self.vector_columns())
+        self._ckpt_dirty = True
         for entry in self.db.indexes_on(self.name):
             vecs, ids = self._gather_index_rows(entry.column, rowids)
             if len(ids):
@@ -144,6 +147,7 @@ class Table:
                 n += 1
         if n:
             self._flat_dirty |= set(self.vector_columns())
+            self._ckpt_dirty = True
             for entry in self.db.indexes_on(self.name):
                 entry.index.remove(
                     [r for r in np.asarray(rowids).tolist()
@@ -244,6 +248,7 @@ class Database:
         # open_database replays records newer than the checkpoint.
         self.wal = None
         self._wal_replaying = False
+        self._block_mgr = None
         if path is not None:
             import os as _os
 
@@ -255,6 +260,56 @@ class Database:
     def _log(self, record: dict) -> None:
         if self.wal is not None and not self._wal_replaying:
             self.wal.append(record)
+
+    # -- block-managed storage --------------------------------------------
+    def block_manager(self, directory: str | None = None):
+        """The database's block allocator (data.vssblk) — the reference's
+        FixedSizeAllocator analog. Lazy; shared across checkpoints so the
+        free list persists within a session (it is also saved in the
+        catalog for reopen)."""
+        import os as _os
+
+        from duckdb_vss_tpu.utils.blockstore import BlockManager
+
+        directory = directory or self.path
+        if directory is None:
+            raise BinderError("in-memory database has no block storage")
+        path = _os.path.join(directory, "data.vssblk")
+        if self._block_mgr is None or self._block_mgr.path != path:
+            free: list[int] = []
+            catalog_path = _os.path.join(directory, "catalog.json")
+            if _os.path.exists(catalog_path):
+                import json
+
+                with open(catalog_path) as f:
+                    cat = json.load(f)
+                free = list(cat.get("free_blocks", []))
+            self._block_mgr = BlockManager(path, free_blocks=free)
+        return self._block_mgr
+
+    def pragma_database_size(self) -> dict:
+        """pragma_database_size() row (DuckDB schema subset): block
+        accounting over the database's block file. In-memory databases
+        report zero blocks, like DuckDB's in-memory path."""
+        if self.path is None:
+            return {"database_size": 0, "block_size": 0, "total_blocks": 0,
+                    "used_blocks": 0, "free_blocks": 0, "wal_size": 0}
+        import os as _os
+
+        mgr = self.block_manager()
+        total = mgr.total_blocks()
+        free = len(mgr.free_blocks)
+        wal_path = _os.path.join(self.path, "vss.wal")
+        wal_size = (_os.path.getsize(wal_path)
+                    if _os.path.exists(wal_path) else 0)
+        return {
+            "database_size": total * mgr.block_size,
+            "block_size": mgr.block_size,
+            "total_blocks": total,
+            "used_blocks": total - free,
+            "free_blocks": free,
+            "wal_size": wal_size,
+        }
 
     # -- SQL text surface ------------------------------------------------
     def execute(self, sql: str):
@@ -656,9 +711,41 @@ def explain_knn_join(db: Database, left: Table, right: Table, left_col: str,
 # ---------------------------------------------------------------------------
 
 
+def _serialize_table(t: Table) -> tuple[dict, dict, bytes]:
+    """(column decl, object columns, npz blob bytes) for one table."""
+    import io
+
+    cols = {}
+    arrays = {}
+    for c, ty in t.columns.items():
+        if isinstance(ty, VectorType):
+            cols[c] = ["FLOAT", ty.dims]
+            mat = np.full((len(t._live), ty.dims), np.nan, np.float32)
+            for i, v in enumerate(t._data[c]):
+                if v is not None:
+                    mat[i] = v
+            arrays[c] = mat
+        else:
+            cols[c] = ty
+            arrays[c] = np.asarray(t._data[c],
+                                   dtype=object if ty == "VARCHAR"
+                                   else None)
+    arrays["__live__"] = np.asarray(t._live, bool)
+    buf = io.BytesIO()
+    np.savez(buf, **{k: v for k, v in arrays.items() if v.dtype != object})
+    obj_cols = {k: v.tolist() for k, v in arrays.items()
+                if v.dtype == object}
+    return cols, obj_cols, buf.getvalue()
+
+
 def checkpoint_database(db: Database, directory: str | None = None) -> str:
-    """CHECKPOINT: persist tables (npz) + dirty indexes (native container,
-    dirty-flag gated like PersistToDisk, hnsw_index.cpp:514-517)."""
+    """CHECKPOINT: persist tables (npz blobs) + indexes (native container
+    blobs) into the database's block file with block REUSE — the
+    FixedSizeAllocator reclaim semantics the reference's
+    hnsw_reclaim_storage.test_slow pins (dropped objects' blocks return
+    to the free list; the file does not grow across drop/recreate
+    cycles). Old blobs are freed only after the new image is written, so
+    a crash mid-checkpoint leaves the previous catalog intact."""
     import json
     import os as _os
 
@@ -672,36 +759,61 @@ def checkpoint_database(db: Database, directory: str | None = None) -> str:
             "set 'hnsw_enable_experimental_persistence' to checkpoint HNSW "
             "indexes")
     _os.makedirs(directory, exist_ok=True)
-    catalog = {"tables": {}, "indexes": {}}
+    mgr = db.block_manager(directory)
+    catalog_path = _os.path.join(directory, "catalog.json")
+    old = {"tables": {}, "indexes": {}}
+    if _os.path.exists(catalog_path):
+        with open(catalog_path) as f:
+            loaded = json.load(f)
+        if loaded.get("format") == 2:
+            old = loaded
+
+    # DuckDB-style incremental image: objects unchanged since the last
+    # checkpoint keep their existing blocks; only dirty/new objects are
+    # rewritten (into free blocks first). Old blocks of rewritten or
+    # dropped objects are freed after the new image is complete.
+    freed: list[int] = []
+    catalog = {"format": 2, "tables": {}, "indexes": {}}
     for tname, t in db.tables.items():
-        cols = {}
-        arrays = {}
-        for c, ty in t.columns.items():
-            if isinstance(ty, VectorType):
-                cols[c] = ["FLOAT", ty.dims]
-                mat = np.full((len(t._live), ty.dims), np.nan, np.float32)
-                for i, v in enumerate(t._data[c]):
-                    if v is not None:
-                        mat[i] = v
-                arrays[c] = mat
-            else:
-                cols[c] = ty
-                arrays[c] = np.asarray(t._data[c],
-                                       dtype=object if ty == "VARCHAR"
-                                       else None)
-        arrays["__live__"] = np.asarray(t._live, bool)
-        np.savez(_os.path.join(directory, f"table_{tname}.npz"),
-                 **{k: v for k, v in arrays.items() if v.dtype != object})
-        obj_cols = {k: v.tolist() for k, v in arrays.items()
-                    if v.dtype == object}
-        catalog["tables"][tname] = {"columns": cols, "objects": obj_cols}
+        prev = old["tables"].get(tname)
+        if prev is not None and not t._ckpt_dirty:
+            catalog["tables"][tname] = prev
+            continue
+        cols, obj_cols, blob = _serialize_table(t)
+        blocks = mgr.write_blob(blob)
+        catalog["tables"][tname] = {"columns": cols, "objects": obj_cols,
+                                    "blocks": blocks, "nbytes": len(blob)}
+        if prev is not None:
+            freed.extend(prev.get("blocks", []))
+        t._ckpt_dirty = False
+    tmp = _os.path.join(directory, ".blob.tmp")
     for iname, e in db.indexes.items():
-        path = _os.path.join(directory, f"index_{iname}.vss")
-        _persist.save_index(e.index, path)
+        prev = old["indexes"].get(iname)
+        if prev is not None and not e.index.is_dirty:
+            catalog["indexes"][iname] = prev
+            continue
+        _persist.save_index(e.index, tmp)
+        with open(tmp, "rb") as f:
+            blob = f.read()
+        _os.unlink(tmp)
+        blocks = mgr.write_blob(blob)
         catalog["indexes"][iname] = {
-            "table": e.table.name, "column": e.column}
-    with open(_os.path.join(directory, "catalog.json"), "w") as f:
+            "table": e.table.name, "column": e.column,
+            "blocks": blocks, "nbytes": len(blob)}
+        if prev is not None:
+            freed.extend(prev.get("blocks", []))
+    # dropped objects' blocks return to the pool
+    for tname, meta in old["tables"].items():
+        if tname not in catalog["tables"]:
+            freed.extend(meta.get("blocks", []))
+    for iname, meta in old["indexes"].items():
+        if iname not in catalog["indexes"]:
+            freed.extend(meta.get("blocks", []))
+    mgr.free_blob(freed)
+    catalog["free_blocks"] = sorted(mgr.free_blocks)
+    with open(catalog_path + ".tmp", "w") as f:
         json.dump(catalog, f)
+    _os.replace(catalog_path + ".tmp", catalog_path)
     # everything the WAL held is now in the checkpoint image
     if db.wal is not None and directory == db.path:
         db.wal.truncate()
@@ -759,13 +871,21 @@ def open_database(directory: str) -> Database:
         catalog = json.load(f)
     # catalog restoration must not re-log into the (post-checkpoint) WAL
     db._wal_replaying = True
+    fmt2 = catalog.get("format") == 2
+    mgr = db.block_manager(directory) if fmt2 else None
     for tname, meta in catalog["tables"].items():
         cols = {
             c: (tuple(ty) if isinstance(ty, list) else ty)
             for c, ty in meta["columns"].items()}
         t = db.create_table(tname, cols)
-        z = np.load(_os.path.join(directory, f"table_{tname}.npz"),
-                    allow_pickle=False)
+        if fmt2:
+            import io
+
+            z = np.load(io.BytesIO(mgr.read_blob(meta["blocks"])),
+                        allow_pickle=False)
+        else:
+            z = np.load(_os.path.join(directory, f"table_{tname}.npz"),
+                        allow_pickle=False)
         live = z["__live__"]
         n = len(live)
         for c, ty in t.columns.items():
@@ -779,9 +899,19 @@ def open_database(directory: str) -> Database:
                 t._data[c] = z[c].tolist()
         t._live = live.tolist()
         t._flat_dirty = set(t.vector_columns())
+        t._ckpt_dirty = False
     for iname, meta in catalog["indexes"].items():
-        idx = _persist.load_index(
-            _os.path.join(directory, f"index_{iname}.vss"))
+        if fmt2:
+            tmp = _os.path.join(directory, ".blob.read.tmp")
+            with open(tmp, "wb") as f:
+                f.write(mgr.read_blob(meta["blocks"]))
+            try:
+                idx = _persist.load_index(tmp)
+            finally:
+                _os.unlink(tmp)
+        else:
+            idx = _persist.load_index(
+                _os.path.join(directory, f"index_{iname}.vss"))
         entry = IndexEntry(iname, db.tables[meta["table"]], meta["column"],
                            idx)
         db.indexes[iname] = entry

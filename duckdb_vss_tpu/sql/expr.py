@@ -251,6 +251,8 @@ def evaluate(e: Expr, batch: dict[str, np.ndarray]) -> np.ndarray:
     if isinstance(e, Aliased):
         return evaluate(e.expr, batch)
     if isinstance(e, ColumnRef):
+        if e.table is not None and f"{e.table}.{e.name}" in batch:
+            return batch[f"{e.table}.{e.name}"]
         return batch[e.name]
     if isinstance(e, Constant):
         return e.value

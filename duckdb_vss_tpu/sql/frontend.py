@@ -30,7 +30,7 @@ from duckdb_vss_tpu.sql.engine import (
 from duckdb_vss_tpu.utils.config import FUNCTION_TO_METRIC, BinderError
 
 AGGREGATES = {"min_by", "max_by", "list", "count", "sum", "avg", "min",
-              "max", "bool_and", "bool_or", "first"}
+              "max", "bool_and", "bool_or", "first", "any_value"}
 
 # list/host scalar helpers usable above aggregates (hnsw_topk.test uses
 # list_sum(flatten(min_by(...))))
@@ -54,6 +54,8 @@ def _execute_stmt(db: Database, stmt):
     if isinstance(stmt, P.CreateTable):
         db.create_table(stmt.name, stmt.columns)
         return None
+    if isinstance(stmt, P.CreateTableAs):
+        return _execute_ctas(db, stmt)
     if isinstance(stmt, P.CreateIndex):
         db.create_hnsw_index(stmt.name, stmt.table, stmt.column,
                              **stmt.options)
@@ -92,6 +94,36 @@ def _execute_stmt(db: Database, stmt):
 # ---------------------------------------------------------------------------
 # DML
 # ---------------------------------------------------------------------------
+
+
+def _infer_column_type(col: np.ndarray):
+    """CTAS column-type inference from a result batch column."""
+    arr = np.asarray(col)
+    if arr.ndim == 2 and arr.dtype.kind == "f":
+        return ("FLOAT", arr.shape[1])
+    if arr.dtype == object and len(arr) and isinstance(
+            arr[0], (np.ndarray, list)):
+        return ("FLOAT", len(arr[0]))
+    if arr.dtype.kind in "iu":
+        return "BIGINT"
+    if arr.dtype.kind == "b":
+        return "BOOLEAN"
+    if arr.dtype.kind == "f":
+        return "DOUBLE"
+    return "VARCHAR"
+
+
+def _execute_ctas(db: Database, stmt: P.CreateTableAs):
+    """CREATE TABLE name AS SELECT ... (the reference's slow suite builds
+    its 1M-row fixture this way, hnsw_reclaim_storage.test_slow:8)."""
+    batch = execute_select(db, stmt.select)
+    cols = {c: _infer_column_type(v) for c, v in batch.items()}
+    table = db.create_table(stmt.name, cols)
+    n = len(next(iter(batch.values()), []))
+    if n:
+        table.insert({c: list(np.asarray(v)) if np.asarray(v).ndim == 2
+                      else np.asarray(v) for c, v in batch.items()})
+    return n
 
 
 def _execute_insert(db: Database, stmt: P.InsertStmt):
@@ -221,7 +253,57 @@ def execute_select(db: Database, sel: P.SelectStmt):
             and items[1].name == "vss_match":
         batch = _vss_match_lateral(db, items[0], items[1])
         return _host_pipeline(db, sel, batch)
+    if len(items) == 1 and isinstance(items[0], P.Lateral):
+        # subquery in FROM: SELECT ... FROM ( SELECT ... )
+        batch = execute_select(db, items[0].sub)
+        return _host_pipeline(db, sel, batch)
+    if len(items) >= 2 and all(
+            isinstance(it, (P.TableRef, P.TableFunc)) for it in items):
+        # generic cross product (hnsw_reclaim_storage.test_slow compares
+        # pragma_database_size() snapshots across saved tables)
+        return _host_pipeline(db, sel, _cross_batch(db, items))
     raise BinderError("unsupported FROM clause shape")
+
+
+def _cross_batch(db: Database, items: list) -> dict:
+    """Cross product of TableRef/TableFunc FROM items. Columns appear
+    under their qualified name (alias.col) always, and under the bare
+    name when it is unique across the items."""
+    parts = []
+    for it in items:
+        if isinstance(it, P.TableRef):
+            batch, _ = db.table(it.name).scan()
+            alias = it.alias or it.name
+        else:
+            batch = _table_func(db, it)
+            alias = it.alias or it.name
+        parts.append((alias, batch))
+
+    sizes = [len(next(iter(b.values()), [])) if b else 0 for _, b in parts]
+
+    def _prod(xs):
+        n = 1
+        for x in xs:
+            n *= x
+        return n
+
+    bare_counts: dict[str, int] = {}
+    for _, b in parts:
+        for c in b:
+            bare_counts[c] = bare_counts.get(c, 0) + 1
+    out: dict[str, np.ndarray] = {}
+    for i, (alias, b) in enumerate(parts):
+        tile = _prod(sizes[:i])
+        rep = _prod(sizes[i + 1:])
+        for c, v in b.items():
+            arr = np.asarray(v)
+            col = np.repeat(arr, rep, axis=0)
+            if tile > 1:
+                col = np.concatenate([col] * tile, axis=0)
+            out[f"{alias}.{c}"] = col
+            if bare_counts[c] == 1:
+                out[c] = col
+    return out
 
 
 def _proj_name(p, i):
@@ -358,7 +440,7 @@ def _eval_aggregate(db: Database, table: Table, e, batch):
         if e.name in ("bool_and", "bool_or"):
             v = np.asarray(E.evaluate(e.args[0], batch), bool)
             return bool(v.all() if e.name == "bool_and" else v.any())
-        if e.name == "first":
+        if e.name in ("first", "any_value"):
             v = E.evaluate(e.args[0], batch)
             return v[0] if len(v) else None
         if e.name in _HOST_FUNCS:
@@ -421,6 +503,9 @@ def _table_func(db: Database, tf: P.TableFunc):
         return db.vss_match(rt, vec, rcol, k, metric=metric)
     if tf.name == "pragma_hnsw_index_info":
         return _info_batch(db)
+    if tf.name == "pragma_database_size":
+        row = db.pragma_database_size()
+        return {k: np.asarray([v]) for k, v in row.items()}
     raise BinderError(f"unknown table function '{tf.name}'")
 
 
@@ -552,7 +637,7 @@ def _eval_batch_aggregate(e, batch):
         if e.name in ("bool_and", "bool_or"):
             v = np.asarray(E.evaluate(e.args[0], batch), bool)
             return bool(v.all() if e.name == "bool_and" else v.any())
-        if e.name == "first":
+        if e.name in ("first", "any_value"):
             v = E.evaluate(e.args[0], batch)
             return v[0] if len(v) else None
         raise BinderError(f"unsupported aggregate '{e.name}' here")

@@ -132,6 +132,12 @@ class CreateTable:
 
 
 @dataclasses.dataclass
+class CreateTableAs:
+    name: str
+    select: "SelectStmt"
+
+
+@dataclasses.dataclass
 class CreateIndex:
     name: str
     table: str
@@ -260,6 +266,8 @@ class Parser:
         kind = self.next().upper
         if kind == "TABLE":
             name = self.expect_ident()
+            if self.accept("AS"):
+                return CreateTableAs(name, self._select())
             self.expect("(")
             cols: dict = {}
             while True:

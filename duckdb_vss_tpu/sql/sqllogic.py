@@ -67,9 +67,48 @@ class _Record:
     line: int = 0
 
 
-def parse_file(path: str) -> list[_Record]:
+def _expand_loops(lines: list[str]) -> list[str]:
+    """Expand `loop var start end` ... `endloop` (end-exclusive, DuckDB
+    sqllogictest semantics) with ${var} substitution."""
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        head = lines[i].strip().split()
+        if head and head[0] == "loop":
+            var, start, end = head[1], int(head[2]), int(head[3])
+            depth, j = 1, i + 1
+            body: list[str] = []
+            while j < len(lines):
+                w = lines[j].strip().split()
+                if w and w[0] == "loop":
+                    depth += 1
+                if w and w[0] == "endloop":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                body.append(lines[j])
+                j += 1
+            if depth != 0:
+                raise SqlLogicFailure("loop without endloop")
+            inner = _expand_loops(body)
+            for it in range(start, end):
+                out.extend(ln.replace("${" + var + "}", str(it))
+                           for ln in inner)
+            i = j + 1
+        else:
+            out.append(lines[i])
+            i += 1
+    return out
+
+
+def parse_file(path: str,
+               substitutions: dict[str, str] | None = None) -> list[_Record]:
     with open(path) as f:
         lines = f.read().splitlines()
+    if substitutions:
+        for old, new in substitutions.items():
+            lines = [ln.replace(old, new) for ln in lines]
+    lines = _expand_loops(lines)
     recs: list[_Record] = []
     i, n = 0, len(lines)
     while i < n:
@@ -159,6 +198,10 @@ def _cell_matches(expected: str, actual: str) -> bool:
                          re.DOTALL) is not None
     if expected == actual:
         return True
+    # booleans under an integer column type render 1/0 in DuckDB
+    if actual in ("true", "false"):
+        if expected == ("1" if actual == "true" else "0"):
+            return True
     # numeric tolerance (ANN distances; f32 rounding)
     try:
         e, a = float(expected), float(actual)
@@ -198,9 +241,14 @@ def _cell(col, i):
 
 
 class SqlLogicRunner:
-    def __init__(self, test_dir: str, skip_literal_blocks: bool = False):
+    def __init__(self, test_dir: str, skip_literal_blocks: bool = False,
+                 substitutions: dict[str, str] | None = None):
         self.test_dir = test_dir
         self.skip_literal_blocks = skip_literal_blocks
+        # documented scale knob: textual substitutions applied before
+        # parsing (the 1M-row slow tests assert scale-invariant relative
+        # properties; CI runs them scaled down, full scale on TPU)
+        self.substitutions = substitutions
         self.db = Database()
         self.db_path: str | None = None
         self.labels: dict[str, list[str]] = {}
@@ -210,7 +258,7 @@ class SqlLogicRunner:
         """Run every record; returns the number of queries checked.
         Raises SkipFile / SqlLogicFailure."""
         checked = 0
-        for rec in parse_file(path):
+        for rec in parse_file(path, substitutions=self.substitutions):
             self._run_record(path, rec)
             if rec.kind == "query":
                 checked += 1
@@ -303,7 +351,9 @@ def _error_text(err: Exception) -> str:
 
 
 def run_sqllogic_file(path: str, test_dir: str,
-                      skip_literal_blocks: bool = False) -> int:
+                      skip_literal_blocks: bool = False,
+                      substitutions: dict[str, str] | None = None) -> int:
     """Convenience wrapper: run one .test file, return #queries checked."""
     return SqlLogicRunner(
-        test_dir, skip_literal_blocks=skip_literal_blocks).run_file(path)
+        test_dir, skip_literal_blocks=skip_literal_blocks,
+        substitutions=substitutions).run_file(path)

@@ -242,4 +242,130 @@ void vss_reader_close(vss_reader* r) {
 
 uint32_t vss_block_size() { return BLOCK_SIZE; }
 
+// ---------------------------------------------------------------------------
+// block file — the database's FixedSizeAllocator analog
+// (/root/reference/src/hnsw/hnsw_index.cpp:15-114 LinkedBlock storage into
+// DuckDB's FixedSizeAllocator; hnsw_reclaim_storage.test_slow proves block
+// REUSE across DROP INDEX / CREATE INDEX / CHECKPOINT cycles).
+//
+// A single mutable file of fixed-size blocks, written in place:
+//   [vss_bf_header][block 0][block 1]...
+//   block := {u32 payload_len, u32 crc32}{payload ... zero pad}
+// Allocation policy (free lists, blob -> block ids) lives in the caller
+// (Python BlockManager) which owns the catalog; this layer does IO + CRC.
+// ---------------------------------------------------------------------------
+
+static const uint64_t VSS_BF_MAGIC = 0x31304B4C'42535356ULL;  // "VSSBLK01"
+
+typedef struct {
+  uint64_t magic;
+  uint32_t version;
+  uint32_t block_size;
+  uint64_t reserved[6];
+} vss_bf_header;
+
+typedef struct {
+  FILE* f;
+  uint32_t block_size;
+} vss_blockfile;
+
+static const uint32_t VSS_BF_HDR = sizeof(vss_bf_header);
+
+vss_blockfile* vss_bf_open(const char* path, uint32_t block_size) {
+  FILE* f = fopen(path, "r+b");
+  vss_bf_header hdr;
+  if (f) {
+    if (fread(&hdr, sizeof(hdr), 1, f) != 1 || hdr.magic != VSS_BF_MAGIC) {
+      fclose(f);
+      return nullptr;
+    }
+  } else {
+    f = fopen(path, "w+b");
+    if (!f) return nullptr;
+    memset(&hdr, 0, sizeof(hdr));
+    hdr.magic = VSS_BF_MAGIC;
+    hdr.version = 1;
+    hdr.block_size = block_size ? block_size : BLOCK_SIZE;
+    if (fwrite(&hdr, sizeof(hdr), 1, f) != 1) {
+      fclose(f);
+      return nullptr;
+    }
+    fflush(f);
+  }
+  vss_blockfile* bf = (vss_blockfile*)calloc(1, sizeof(vss_blockfile));
+  bf->f = f;
+  bf->block_size = hdr.block_size;
+  return bf;
+}
+
+uint32_t vss_bf_block_size(vss_blockfile* bf) {
+  return bf ? bf->block_size : 0;
+}
+
+// payload capacity per block (block size minus the {len, crc} header)
+uint32_t vss_bf_usable(vss_blockfile* bf) {
+  return bf ? bf->block_size - 8 : 0;
+}
+
+int64_t vss_bf_total_blocks(vss_blockfile* bf) {
+  if (!bf) return -1;
+  fflush(bf->f);
+  fseek(bf->f, 0, SEEK_END);
+  long end = ftell(bf->f);
+  if (end < (long)VSS_BF_HDR) return 0;
+  return ((uint64_t)end - VSS_BF_HDR + bf->block_size - 1) / bf->block_size;
+}
+
+// Write one block's payload in place (grows the file when block_id is
+// past the end). len must be <= usable capacity.
+int vss_bf_write(vss_blockfile* bf, uint64_t block_id, const void* data,
+                 uint32_t len) {
+  if (!bf || len > bf->block_size - 8) return -1;
+  uint64_t off = VSS_BF_HDR + block_id * (uint64_t)bf->block_size;
+  if (fseek(bf->f, (long)off, SEEK_SET) != 0) return -2;
+  uint32_t crc = crc32_buf((const uint8_t*)data, len);
+  if (fwrite(&len, 4, 1, bf->f) != 1) return -3;
+  if (fwrite(&crc, 4, 1, bf->f) != 1) return -3;
+  if (len && fwrite(data, 1, len, bf->f) != len) return -3;
+  // zero-pad so total_blocks (file size based) counts this block fully
+  uint32_t pad = bf->block_size - 8 - len;
+  if (pad) {
+    static const char zeros[4096] = {0};
+    while (pad) {
+      uint32_t n = pad > sizeof(zeros) ? (uint32_t)sizeof(zeros) : pad;
+      if (fwrite(zeros, 1, n, bf->f) != n) return -3;
+      pad -= n;
+    }
+  }
+  return 0;
+}
+
+// Read one block's payload; returns length, -2 on corruption.
+int64_t vss_bf_read(vss_blockfile* bf, uint64_t block_id, void* out,
+                    uint32_t cap) {
+  if (!bf) return -1;
+  uint64_t off = VSS_BF_HDR + block_id * (uint64_t)bf->block_size;
+  if (fseek(bf->f, (long)off, SEEK_SET) != 0) return -2;
+  uint32_t len, crc;
+  if (fread(&len, 4, 1, bf->f) != 1) return -2;
+  if (fread(&crc, 4, 1, bf->f) != 1) return -2;
+  if (len > bf->block_size - 8 || len > cap) return -2;
+  if (len && fread(out, 1, len, bf->f) != len) return -2;
+  if (crc32_buf((const uint8_t*)out, len) != crc) return -2;
+  return (int64_t)len;
+}
+
+int vss_bf_flush(vss_blockfile* bf) {
+  if (!bf) return -1;
+  fflush(bf->f);
+  return fsync(fileno(bf->f));
+}
+
+int vss_bf_close(vss_blockfile* bf) {
+  if (!bf) return -1;
+  int rc = fclose(bf->f);
+  free(bf);
+  return rc;
+}
+
 }  // extern "C"
