@@ -25,6 +25,7 @@ unexpanded candidates until none can improve the top-ef set.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -143,6 +144,14 @@ def gather_scores(
     if metric == MetricKind.IP:
         return 1.0 - dot
     v_sq = jnp.take(vec_sq, safe, axis=0)
+    return metric_epilogue(dot, v_sq, q_sq, metric)
+
+
+def metric_epilogue(dot, v_sq, q_sq, metric: MetricKind) -> jax.Array:
+    """Index-metric score from a raw dot product + squared norms
+    (usearch metric semantics, index_plugins.hpp:977-1053)."""
+    if metric == MetricKind.IP:
+        return 1.0 - dot
     if metric == MetricKind.L2SQ:
         return jnp.maximum(q_sq[:, None] - 2.0 * dot + v_sq, 0.0)
     if metric == MetricKind.COSINE:
@@ -226,6 +235,75 @@ def make_aug_queries(
         return queries, jnp.ones_like(q_sq)
     inv = lax.rsqrt(jnp.maximum(q_sq, _EPS))
     return queries * inv[:, None], jnp.ones_like(q_sq)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _nbr_fill_chunk(table, scales, vectors, vec_sq, nbr_chunk, off):
+    """Quantize one chunk of neighborhoods into the donated tables."""
+    safe = jnp.maximum(nbr_chunk, 0)  # [S, M0]
+    rows = jnp.take(vectors, safe, axis=0)  # [S, M0, D] f32
+    absmax = jnp.max(jnp.abs(rows), axis=-1)  # [S, M0]
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127
+                  ).astype(jnp.int8)
+    s, m0, d = rows.shape
+    table = lax.dynamic_update_slice(table, q8.reshape(s, m0 * d), (off, 0))
+    scales = lax.dynamic_update_slice(scales, scale, (off, 0))
+    return table, scales
+
+
+def make_neighborhood_tables(
+    vectors: jax.Array,  # [cap, d_pad] f32 store
+    vec_sq: jax.Array,  # [cap]
+    neighbors0: jax.Array,  # [cap, M0]
+    chunk: int = 131072,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Neighborhood-materialized traversal layout: for every node, its M0
+    base-layer neighbors' VECTORS stored contiguously as one int8 row.
+
+    Why: on TPU a random-row gather costs ~5-9 ns per row regardless of
+    row size until HBM bandwidth binds (measured in
+    benchmarks/profile_gather.py — 262k 256 B rows: 1.4 ms; 2k 64 KiB
+    rows: 0.16 ms). The beam step's dominant cost is gathering E*M0
+    scattered candidate rows per query; with this layout it becomes E
+    contiguous 4 KiB rows per query (M0x fewer gathers for M0=32). The
+    reference's pointer-chasing equivalent is the node tape holding
+    neighbor SLOTS only (usearch index.hpp:1816-1843) — on TPU we trade
+    M0x traversal memory for gather contiguity.
+
+    int8 (per-neighbor-vector symmetric scales) rather than bf16: the
+    single-program resident ceiling on this backend is ~8.5 GiB, and the
+    bf16 table alone is 8 GiB at 1M x 128 x M0=32; int8 halves it AND
+    doubles MXU dot throughput. Quantization noise (~0.4% of the row
+    max per element) only perturbs traversal ranking — emitted distances
+    come from the exact f32 rerank.
+
+    Returns (nbr_vecs [cap, M0*d_pad] int8, nbr_scale [cap, M0] f32,
+    nbr_sq [cap, M0] f32). Rows at padding positions (neighbor -1) hold
+    node 0's vector and are masked by the caller via the id table.
+    Built in chunks with donated updates so peak memory stays near the
+    final table size.
+    """
+    cap, d_pad = vectors.shape
+    m0 = neighbors0.shape[1]
+    table = jnp.zeros((cap, m0 * d_pad), jnp.int8)
+    scales = jnp.ones((cap, m0), jnp.float32)
+    for off in range(0, cap, chunk):
+        s = min(chunk, cap - off)
+        nbr_chunk = lax.dynamic_slice(neighbors0, (off, 0), (s, m0))
+        table, scales = _nbr_fill_chunk(table, scales, vectors, vec_sq,
+                                        nbr_chunk, off)
+    sq = jnp.take(vec_sq, jnp.maximum(neighbors0, 0), axis=0)  # [cap, M0]
+    return table, scales, sq
+
+
+def quantize_queries_i8(queries: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-query symmetric int8 quantization: (q8 [B, D], scale [B])."""
+    absmax = jnp.max(jnp.abs(queries), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(queries / scale[:, None]), -127, 127
+                  ).astype(jnp.int8)
+    return q8, scale
 
 
 def fetch_upper_neighbors(state: GraphState, ids: jax.Array, level) -> jax.Array:
@@ -335,6 +413,9 @@ def beam_search(
     use_pallas: bool = False,  # fused DMA gather+score kernel (TPU only)
     loop: str = "while",  # "while" (early exit) | "scan" | "unroll"
     aug: bool = False,  # vectors/queries/q_sq are augmented (make_aug_table)
+    nbr_vecs: jax.Array | None = None,  # [cap, M0*D] i8 neighborhood layout
+    nbr_scale: jax.Array | None = None,  # [cap, M0] f32 dequant scales
+    nbr_sq: jax.Array | None = None,  # [cap, M0]
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched best-first beam search. Returns (scores [B, ef] ascending,
     ids [B, ef], n_dist []). Tombstones are NOT filtered here (matches
@@ -378,6 +459,11 @@ def beam_search(
 
     beam_pos = jnp.arange(ef, dtype=jnp.int32)
 
+    if nbr_vecs is not None and base:
+        q_i8, q_scale = quantize_queries_i8(queries.astype(jnp.float32))
+    else:
+        q_i8 = q_scale = None
+
     def fetch(sel_ids):
         if base:
             has = sel_ids >= 0
@@ -411,7 +497,23 @@ def beam_search(
         ).any(axis=1)
         keep = valid & ~in_beam & ~dup_new
 
-        if use_pallas and not aug:
+        if nbr_vecs is not None and base:
+            # neighborhood layout: E contiguous int8 rows/query hold the
+            # expanded nodes' neighbor VECTORS + norms — M0x fewer
+            # gathered rows than per-candidate gathers, int8 MXU dots
+            sel_safe = jnp.maximum(sel_ids, 0)  # [B, E]
+            d = queries.shape[1]
+            rows = jnp.take(nbr_vecs, sel_safe, axis=0)  # [B, E, M0*D] i8
+            cand = rows.reshape(b, -1, d)  # [B, E*M0, D]
+            v_sq = jnp.take(nbr_sq, sel_safe, axis=0).reshape(b, -1)
+            v_scale = jnp.take(nbr_scale, sel_safe, axis=0).reshape(b, -1)
+            dot_i = lax.dot_general(
+                cand, q_i8,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            dot = dot_i.astype(jnp.float32) * v_scale * q_scale[:, None]
+            s = metric_epilogue(dot, v_sq, q_sq, metric)
+        elif use_pallas and not aug:
             from duckdb_vss_tpu.ops.pallas_gather import gather_scores_pallas
 
             s = gather_scores_pallas(
@@ -571,6 +673,9 @@ def search_graph(
     upper_vecs: jax.Array | None = None,  # required for descent="mxu"
     upper_vec_sq: jax.Array | None = None,
     aug_table: jax.Array | None = None,  # augmented traversal (make_aug_table)
+    nbr_vecs: jax.Array | None = None,  # neighborhood layout (make_
+    nbr_scale: jax.Array | None = None,  # neighborhood_tables: i8 rows,
+    nbr_sq: jax.Array | None = None,  # dequant scales, squared norms)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """End-to-end ANN search. Returns (scores [B, k] ascending exact
     index-metric values, ids [B, k] slot ids with -1 fill, n_dist []).
@@ -603,7 +708,7 @@ def search_graph(
             descent_steps=descent_steps,
         )
     ef_eff = max(ef, k)
-    if aug_table is not None:
+    if aug_table is not None and nbr_vecs is None:
         q_aug, bias = make_aug_queries(
             queries, q_sq, metric, aug_table.shape[1])
         beam_tab, beam_q, beam_qsq, beam_vsq = aug_table, q_aug, bias, vec_sq
@@ -623,7 +728,10 @@ def search_graph(
         max_steps=max_steps,
         use_pallas=use_pallas,
         loop=loop,
-        aug=aug_table is not None,
+        aug=aug_table is not None and nbr_vecs is None,
+        nbr_vecs=nbr_vecs,
+        nbr_scale=nbr_scale,
+        nbr_sq=nbr_sq,
     )
     # tombstone filter (usearch injects an `allow` predicate over results,
     # index_dense.hpp:1797-1827) then exact rerank at HIGHEST precision so

@@ -44,14 +44,16 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                      expand=4, use_pallas=False, descent_ef=48, n_seeds=8,
                      loop="while", max_steps=None, descent_steps=16,
                      traversal_vectors=None, descent="beam",
-                     upper_vecs=None, upper_vec_sq=None, aug_table=None):
+                     upper_vecs=None, upper_vec_sq=None, aug_table=None,
+                     nbr_vecs=None, nbr_scale=None, nbr_sq=None):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
                         max_steps=max_steps, descent_steps=descent_steps,
                         traversal_vectors=traversal_vectors, descent=descent,
                         upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq,
-                        aug_table=aug_table)
+                        aug_table=aug_table, nbr_vecs=nbr_vecs,
+                        nbr_scale=nbr_scale, nbr_sq=nbr_sq)
 
 
 @jax.jit
@@ -137,6 +139,10 @@ class HNSWIndex:
         # for only ~10% step-time gain — at wider operating points
         # (ef=32, expand=8, 4 steps) recall matches (0.9950 both arms)
         self.use_aug = _os.environ.get("DVT_AUG", "0") == "1"
+        # traversal layout: "auto" (neighborhood when it fits the memory
+        # budget), "neighborhood" (force), "flat" (per-candidate gathers)
+        self.layout = _os.environ.get("DVT_LAYOUT", "auto")
+        self._nbr_cache = None
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -179,6 +185,37 @@ class HNSWIndex:
                 or self._trav_cache.shape[0] != self.store.capacity):
             self._trav_cache = self.store._vectors.astype(jnp.bfloat16)
         return self._trav_cache
+
+    def _neighborhood_tables(self):
+        """(nbr_vecs [cap, M0*D] int8, nbr_scale [cap, M0] f32,
+        nbr_sq [cap, M0] f32) — the
+        neighborhood-materialized traversal layout
+        (graph.make_neighborhood_tables): each node's neighbors' vectors
+        stored contiguously, cutting the beam step's gathered-row count
+        M0x at the price of M0x traversal memory. Enabled when the table
+        fits the memory budget (DVT_NBR_BUDGET_GB, default 9); rebuilt
+        lazily after any graph mutation."""
+        import os as _os
+
+        if self.layout == "flat":
+            return None, None, None
+        if self.layout != "neighborhood" \
+                and jax.default_backend() == "cpu":
+            # a TPU-memory-layout optimization; on the CPU backend the
+            # int8 dot path is slower and just burns test time
+            return None, None, None
+        m0 = self.graph.neighbors0.shape[1]
+        table_bytes = self.store.capacity * m0 * self.store.d_pad  # int8
+        budget = float(_os.environ.get("DVT_NBR_BUDGET_GB", "6")) * (1 << 30)
+        if self.layout != "neighborhood" and table_bytes > budget:
+            return None, None, None
+        if self._nbr_cache is None:
+            from duckdb_vss_tpu.models.graph import make_neighborhood_tables
+
+            self._nbr_cache = make_neighborhood_tables(
+                self.store._vectors, self.store._vec_sq,
+                self.graph.neighbors0)
+        return self._nbr_cache
 
     def _aug_table(self) -> jax.Array | None:
         """Augmented bf16 traversal table (graph.make_aug_table): folds
@@ -233,6 +270,7 @@ class HNSWIndex:
         slots = self.store.add(vectors, keys)
         self._trav_cache = None
         self._aug_cache = None
+        self._nbr_cache = None
         self._upper_cache = None
         if self.store.capacity > self.graph.capacity:
             self.graph = grow_graph(self.graph, self.store.capacity)
@@ -305,6 +343,7 @@ class HNSWIndex:
                                self.store._valid)
         self.graph = self.graph._replace(neighbors0=nb0,
                                          upper_neighbors=un)
+        self._nbr_cache = None
         self.is_dirty = True
 
     # ------------------------------------------------------------------
@@ -337,15 +376,20 @@ class HNSWIndex:
             q = self.store.prepare_queries(qarr[off : off + chunk])
             uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
                         else (None, None))
+            nv, nscale, nsq = self._neighborhood_tables()
+            # with the neighborhood layout the base beam reads nv/nsq;
+            # a separate traversal copy is only needed for beam descent
+            want_trav = (self.descent == "beam"
+                         or (nv is None and not self.use_aug))
             outs.append((_hnsw_search_jit(
                 self.graph, self.store._vectors, self.store._vec_sq,
                 self.store._valid, q, int(k), ef_eff, self.metric, expand,
                 self.use_pallas, descent_ef, n_seeds, loop, max_steps,
                 traversal_vectors=(self._traversal_vectors()
-                                   if (self.descent == "beam"
-                                       or not self.use_aug) else None),
+                                   if want_trav else None),
                 descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
-                aug_table=self._aug_table()),
+                aug_table=(None if nv is not None else self._aug_table()),
+                nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq),
                 min(chunk, b - off)))
         scores_list, keys_list, nd_total = [], [], 0
         for (scores, slots, nd), nb in outs:
@@ -366,14 +410,17 @@ class HNSWIndex:
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
         uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
                     else (None, None))
+        nv, nscale, nsq = self._neighborhood_tables()
+        want_trav = (self.descent == "beam"
+                     or (nv is None and not self.use_aug))
         return _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
             self.store._valid, queries_padded, int(k), ef_eff, self.metric,
             expand, traversal_vectors=(self._traversal_vectors()
-                                       if (self.descent == "beam"
-                                           or not self.use_aug) else None),
+                                       if want_trav else None),
             descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
-            aug_table=self._aug_table())
+            aug_table=(None if nv is not None else self._aug_table()),
+            nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq)
 
     # ------------------------------------------------------------------
     def compact(self) -> None:
@@ -462,6 +509,7 @@ class HNSWIndex:
         st._next_slot = n_live
         self._trav_cache = None
         self._aug_cache = None
+        self._nbr_cache = None
         self._upper_cache = None
         self.is_dirty = True
 

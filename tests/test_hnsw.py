@@ -286,3 +286,28 @@ def test_bulk_upper_levels_structure():
         node = unode[us]
         np.testing.assert_allclose(
             uv[us, :d], v[node], rtol=2e-2, atol=2e-2)  # bf16 cast
+
+
+def test_neighborhood_layout_matches_flat_layout():
+    """Forced neighborhood (int8 contiguous neighbor rows) traversal must
+    reach the same recall class as the flat per-candidate gather path —
+    the layouts differ only in memory shape and quantization noise, and
+    emitted distances come from the exact f32 rerank either way."""
+    rng = np.random.default_rng(11)
+    idx, v, keys = build_index(rng, n=3000, d=32)
+    q = rng.normal(size=(64, 32)).astype(np.float32)
+    flat = FlatIndex(32, MetricKind.L2SQ, capacity=len(v))
+    flat.add(v, keys)
+    _, want = flat.search(q, 10)
+
+    idx.layout = "flat"
+    s_flat, got_flat = idx.search(q, 10, ef=64)
+    idx.layout = "neighborhood"
+    s_nbr, got_nbr = idx.search(q, 10, ef=64)
+
+    r_flat = recall_at_k(got_flat, want)
+    r_nbr = recall_at_k(got_nbr, want)
+    assert r_nbr >= r_flat - 0.03, (r_flat, r_nbr)
+    # emitted distances are exact f32 for overlapping results
+    both = got_flat == got_nbr
+    np.testing.assert_allclose(s_nbr[both], s_flat[both], rtol=1e-5)
