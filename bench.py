@@ -56,7 +56,7 @@ def main():
     from duckdb_vss_tpu.models.hnsw import HNSWIndex
 
     n = int(os.environ.get("DVT_BENCH_N", 1_000_000))
-    nq = int(os.environ.get("DVT_BENCH_Q", 4096))
+    nq = int(os.environ.get("DVT_BENCH_Q", 16384))
     bb = int(os.environ.get("DVT_BENCH_BUILD_BATCH", 1024))
     d, k = 128, 10
     rng = np.random.default_rng(1234)
@@ -88,9 +88,10 @@ def main():
     build_s = time.time() - t0
     build_vps = n / build_s
 
-    # pick the cheapest ef meeting the recall target (MXU descent +
-    # bf16 traversal are the index defaults; chunk 2048 measured best)
-    kw = dict(expand=4, n_seeds=8, chunk=2048)
+    # pick the cheapest ef meeting the recall target (MXU descent, int8
+    # neighborhood layout + fused beam kernel are the index defaults;
+    # chunk 8192 amortizes per-dispatch overhead)
+    kw = dict(expand=4, n_seeds=8, chunk=8192)
     chosen = None
     for ef in (16, 24, 32, 48, 64, 96, 128):
         _, got = idx.search(q[:n_gt], k, ef=ef, **kw)

@@ -39,13 +39,14 @@ DEFAULT_BUILD_BATCH = 256
 @functools.partial(
     jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas",
                               "descent_ef", "n_seeds", "loop", "max_steps",
-                              "descent_steps", "descent"))
+                              "descent_steps", "descent", "pallas_beam"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                      expand=4, use_pallas=False, descent_ef=48, n_seeds=8,
                      loop="while", max_steps=None, descent_steps=16,
                      traversal_vectors=None, descent="beam",
                      upper_vecs=None, upper_vec_sq=None, aug_table=None,
-                     nbr_vecs=None, nbr_scale=None, nbr_sq=None):
+                     nbr_vecs=None, nbr_scale=None, nbr_sq=None,
+                     nbr_meta=None, pallas_beam=False):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
@@ -53,7 +54,8 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         traversal_vectors=traversal_vectors, descent=descent,
                         upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq,
                         aug_table=aug_table, nbr_vecs=nbr_vecs,
-                        nbr_scale=nbr_scale, nbr_sq=nbr_sq)
+                        nbr_scale=nbr_scale, nbr_sq=nbr_sq,
+                        nbr_meta=nbr_meta, pallas_beam=pallas_beam)
 
 
 @jax.jit
@@ -143,6 +145,10 @@ class HNSWIndex:
         # budget), "neighborhood" (force), "flat" (per-candidate gathers)
         self.layout = _os.environ.get("DVT_LAYOUT", "auto")
         self._nbr_cache = None
+        # fused on-chip beam kernel over the neighborhood layout
+        # (ops/pallas_beam.py); applies only when the layout is active
+        self.use_pallas_beam = _os.environ.get("DVT_PALLAS_BEAM",
+                                               "1") == "1"
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -198,23 +204,26 @@ class HNSWIndex:
         import os as _os
 
         if self.layout == "flat":
-            return None, None, None
+            return None, None, None, None
         if self.layout != "neighborhood" \
                 and jax.default_backend() == "cpu":
             # a TPU-memory-layout optimization; on the CPU backend the
             # int8 dot path is slower and just burns test time
-            return None, None, None
+            return None, None, None, None
         m0 = self.graph.neighbors0.shape[1]
         table_bytes = self.store.capacity * m0 * self.store.d_pad  # int8
         budget = float(_os.environ.get("DVT_NBR_BUDGET_GB", "6")) * (1 << 30)
         if self.layout != "neighborhood" and table_bytes > budget:
-            return None, None, None
+            return None, None, None, None
         if self._nbr_cache is None:
             from duckdb_vss_tpu.models.graph import make_neighborhood_tables
+            from duckdb_vss_tpu.ops.pallas_beam import pack_meta
 
-            self._nbr_cache = make_neighborhood_tables(
+            vecs_i8, scale, sq = make_neighborhood_tables(
                 self.store._vectors, self.store._vec_sq,
                 self.graph.neighbors0)
+            meta = jax.jit(pack_meta)(self.graph.neighbors0, scale, sq)
+            self._nbr_cache = (vecs_i8, scale, sq, meta)
         return self._nbr_cache
 
     def _aug_table(self) -> jax.Array | None:
@@ -376,7 +385,7 @@ class HNSWIndex:
             q = self.store.prepare_queries(qarr[off : off + chunk])
             uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
                         else (None, None))
-            nv, nscale, nsq = self._neighborhood_tables()
+            nv, nscale, nsq, nmeta = self._neighborhood_tables()
             # with the neighborhood layout the base beam reads nv/nsq;
             # a separate traversal copy is only needed for beam descent
             want_trav = (self.descent == "beam"
@@ -389,7 +398,8 @@ class HNSWIndex:
                                    if want_trav else None),
                 descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
                 aug_table=(None if nv is not None else self._aug_table()),
-                nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq),
+                nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,
+                pallas_beam=self.use_pallas_beam and nv is not None),
                 min(chunk, b - off)))
         scores_list, keys_list, nd_total = [], [], 0
         for (scores, slots, nd), nb in outs:
@@ -410,7 +420,7 @@ class HNSWIndex:
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
         uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
                     else (None, None))
-        nv, nscale, nsq = self._neighborhood_tables()
+        nv, nscale, nsq, nmeta = self._neighborhood_tables()
         want_trav = (self.descent == "beam"
                      or (nv is None and not self.use_aug))
         return _hnsw_search_jit(
@@ -420,7 +430,8 @@ class HNSWIndex:
                                        if want_trav else None),
             descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
             aug_table=(None if nv is not None else self._aug_table()),
-            nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq)
+            nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,
+            pallas_beam=self.use_pallas_beam and nv is not None)
 
     # ------------------------------------------------------------------
     def compact(self) -> None:

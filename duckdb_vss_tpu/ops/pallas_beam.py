@@ -1,0 +1,307 @@
+"""Fused Pallas TPU kernel: the entire base-layer beam search in one
+kernel launch.
+
+The XLA beam loop (models/graph.py beam_search) pays per-step XLA op
+overheads (top-k merges, dedup masks, gather launches) that dominate
+once the neighborhood layout makes the gather itself cheap: ~3 ms per
+step at B=2048 against a ~20 us roofline. This kernel keeps the beam
+state (scores/ids/expanded) in VMEM for a tile of queries and runs ALL
+steps on-chip:
+
+  per step, per tile of TB queries:
+    1. top-E unexpanded selection (iterative argmin, VPU)
+    2. selected ids staged in a VMEM scratch row and read back as
+       scalars to address HBM
+    3. 4 DMAs per (query, expansion): the three sections of a packed
+       meta row [M0 neighbor ids | M0 dequant scales | M0 squared
+       norms] (i32, bitcast) and the int8 neighbor-vector row [M0*D] —
+       the neighborhood-materialized layout from
+       graph.make_neighborhood_tables, so each step's vector traffic is
+       E contiguous rows per query
+    4. dequantized VPU scoring + metric epilogue
+    5. dedup (vs beam, within block) and iterative top-ef merge
+
+  The reference's equivalent inner loop is usearch's per-candidate heap
+  walk (search_to_find_in_base_, /root/reference/src/include/usearch/
+  index.hpp:3503-3573); here a whole query tile advances one step per
+  loop iteration with all memory traffic explicit.
+
+Shapes are static; queries are tiled TB per grid program (grid runs
+sequentially on the single TensorCore, DMAs pipelined within a step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.padding import INF_SCORE
+
+_EPS = 1e-30
+TB = 64  # query rows per grid program
+_ABLATE = None  # debug ablations: "noread" | "nomerge" | "nodma" |
+# "noscore" | "nodedup"
+
+
+def pack_meta(neighbors0, nbr_scale, nbr_sq) -> jax.Array:
+    """Packed per-node meta row for single-DMA fetch:
+    [M0 ids (i32) | M0 scales (f32 bits) | M0 norms (f32 bits) | pad],
+    padded to a 128-lane multiple so full-row DMAs are lane-aligned."""
+    m0 = neighbors0.shape[1]
+    row = jnp.concatenate(
+        [neighbors0,
+         lax.bitcast_convert_type(nbr_scale, jnp.int32),
+         lax.bitcast_convert_type(nbr_sq, jnp.int32)], axis=1)
+    width = ((3 * m0 + 127) // 128) * 128
+    if width != 3 * m0:
+        row = jnp.concatenate(
+            [row, jnp.full((row.shape[0], width - 3 * m0), -1, jnp.int32)],
+            axis=1)
+    return row
+
+
+def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
+            meta_hbm, vecs_hbm,
+            out_s_ref, out_i_ref, out_nd_ref,
+            sel_vmem, meta_scr, vec_scr, nd_acc,
+            sem_meta, sem_vec,
+            *, ef, expand, m0, d, max_steps, metric):
+    """One tile: full beam search for TB queries.
+
+    q_ref [TB, D] f32; qsq [TB, 1] f32; seed beam [TB, ef];
+    meta_hbm [cap, W] i32 (W = 3*M0 padded to 128 lanes);
+    vecs_hbm [cap, M0, D] i8 — 3-D so one node's slice is a whole
+    (32, 128) int8 tile (1-row slices of a 2-D i8 array break its
+    32-sublane HBM tiling).
+    Scratch (all 2-D, lane-aligned — Mosaic rejects reshapes that merge
+    a sub-128 minor dim): sel_vmem [TB, 128] i32 staging row read back
+    as scalars for DMA addressing; ids/scale/sq scratches [TB, E*M0];
+    vec_scr [TB, E*M0*D] i8; nd_acc [1, 1] i32 in SMEM.
+    """
+    c = expand * m0  # candidates per step
+
+    beam_s = seed_s_ref[:]  # [TB, ef] f32
+    beam_i = seed_i_ref[:]  # [TB, ef] i32
+    # expanded flags carried as i32: Mosaic cannot round-trip bool
+    # (i1) arrays through a fori_loop carry
+    beam_e = jnp.zeros((TB, ef), jnp.int32)
+    nd_acc[0, 0] = 0
+
+    q = q_ref[:]  # [TB, D] f32
+    q_sq = qsq_ref[:]  # [TB, 1]
+
+    ef_pos = lax.broadcasted_iota(jnp.int32, (TB, ef), 1)
+
+    def step(_, carry):
+        beam_s, beam_i, beam_e = carry
+
+        # -- 1. select top-E unexpanded candidates -----------------------
+        # (no scatter in Mosaic; and no [TB, expand] narrow vectors —
+        # Mosaic chokes on sub-lane bool casts — so per-e picks live in
+        # 1-D vectors and a 128-lane staging row)
+        key = jnp.where((beam_e != 0) | (beam_s >= INF_SCORE), INF_SCORE,
+                        beam_s)
+        lane = lax.broadcasted_iota(jnp.int32, (TB, 128), 1)
+        sel_pad = jnp.zeros((TB, 128), jnp.int32)
+        oks = []  # per-e [TB] bool
+        for e in range(expand):
+            pos = jnp.argmin(key, axis=1)  # [TB]
+            hit = ef_pos == pos[:, None]  # [TB, ef] one-hot
+            ok = jnp.min(key, axis=1) < INF_SCORE
+            picked = jnp.sum(jnp.where(hit, beam_i, 0), axis=1)
+            picked = jnp.where(ok, picked, 0)
+            sel_pad = jnp.where(lane == e, picked[:, None], sel_pad)
+            oks.append(ok)
+            beam_e = jnp.maximum(
+                beam_e, (hit & ok[:, None]).astype(jnp.int32))
+            key = jnp.where(hit, INF_SCORE, key)
+
+        # -- 2. stage selection for scalar readback ----------------------
+        sel_vmem[:] = sel_pad
+
+        # -- 3. fetch meta + vector rows (2 full-row DMAs per (t, e)) ----
+        # scratch layout [E, TB, row]: .at[e, t] is a full VMEM row —
+        # partial-row DMA destinations are rejected by Mosaic
+        n_dma = 0 if _ABLATE == "nodma" else TB
+        for t in range(n_dma):
+            for e in range(expand):
+                row = (t * expand + e if _ABLATE == "noread"
+                       else sel_vmem[t, e])
+                pltpu.make_async_copy(
+                    meta_hbm.at[row], meta_scr.at[e, t], sem_meta).start()
+                pltpu.make_async_copy(
+                    vecs_hbm.at[row], vec_scr.at[e, t], sem_vec).start()
+        meta_proto = pltpu.make_async_copy(
+            meta_hbm.at[0], meta_scr.at[0, 0], sem_meta)
+        vec_proto = pltpu.make_async_copy(
+            vecs_hbm.at[0], vec_scr.at[0, 0], sem_vec)
+        for _i in range(n_dma * expand):
+            meta_proto.wait()
+            vec_proto.wait()
+
+        # -- 4. parse + score --------------------------------------------
+        # per-e lane slices, rebuilt into contiguous [TB, C] via concat
+        nbr_e, scale_e, sq_e, dot_e = [], [], [], []
+        for e in range(expand):
+            meta_e = meta_scr[e]  # [TB, W] i32
+            nbr_e.append(meta_e[:, :m0])
+            scale_e.append(meta_e[:, m0:2 * m0])
+            sq_e.append(meta_e[:, 2 * m0:3 * m0])
+            if _ABLATE == "noscore":
+                dot_e.append(meta_e[:, :m0].astype(jnp.float32))
+            else:
+                cand_e = vec_scr[e].astype(jnp.float32)  # [TB, M0, D]
+                dot_e.append(jnp.sum(cand_e * q[:, None, :], axis=-1))
+        nbr = jnp.concatenate(nbr_e, axis=1)  # [TB, C]
+        v_scale = lax.bitcast_convert_type(
+            jnp.concatenate(scale_e, axis=1), jnp.float32)
+        v_sq = lax.bitcast_convert_type(
+            jnp.concatenate(sq_e, axis=1), jnp.float32)
+        dot = jnp.concatenate(dot_e, axis=1) * v_scale  # [TB, C]
+        if metric == MetricKind.IP:
+            s_new = 1.0 - dot
+        elif metric == MetricKind.L2SQ:
+            s_new = jnp.maximum(q_sq - 2.0 * dot + v_sq, 0.0)
+        else:  # cosine
+            denom = jnp.sqrt(q_sq * v_sq)
+            cos = dot / jnp.maximum(denom, _EPS)
+            s_new = jnp.where((q_sq <= 0.0) | (v_sq <= 0.0), 1.0, 1.0 - cos)
+            s_new = jnp.where((q_sq <= 0.0) & (v_sq <= 0.0), 0.0, s_new)
+
+        # -- 5. mask, dedup, merge ----------------------------------------
+        e_of_c = lax.broadcasted_iota(jnp.int32, (TB, c), 1) // m0
+        sel_valid = jnp.zeros((TB, c), jnp.bool_)
+        for e in range(expand):
+            sel_valid = sel_valid | ((e_of_c == e) & oks[e][:, None])
+        valid = (nbr >= 0) & sel_valid
+        if _ABLATE == "nodedup":
+            keep = valid
+        else:
+            in_beam = jnp.any(nbr[:, :, None] == beam_i[:, None, :], axis=2)
+            lo = lax.broadcasted_iota(jnp.int32, (c, c), 0)
+            hi = lax.broadcasted_iota(jnp.int32, (c, c), 1)
+            upper = (lo < hi)[None]  # strict upper triangle
+            dup_new = jnp.any(
+                (nbr[:, :, None] == nbr[:, None, :]) & upper, axis=1)
+            keep = valid & ~in_beam & ~dup_new
+        s_new = jnp.where(keep, s_new, INF_SCORE)
+        nd_acc[0, 0] += jnp.sum(keep.astype(jnp.int32))
+
+        if _ABLATE == "nomerge":
+            return beam_s, jnp.maximum(beam_i, nbr[:, :ef]), beam_e
+        # iterative top-ef over the concatenated pool
+        pool_s = jnp.concatenate([beam_s, s_new], axis=1)  # [TB, ef+C]
+        pool_i = jnp.concatenate([beam_i, jnp.where(keep, nbr, -1)], axis=1)
+        pool_e = jnp.concatenate(
+            [beam_e, jnp.zeros((TB, c), jnp.int32)], axis=1)
+        pool_pos = lax.broadcasted_iota(jnp.int32, (TB, ef + c), 1)
+        r_col = lax.broadcasted_iota(jnp.int32, (TB, ef), 1)
+        new_s = jnp.zeros((TB, ef), jnp.float32)
+        new_i = jnp.full((TB, ef), -1, jnp.int32)
+        new_e = jnp.zeros((TB, ef), jnp.int32)
+        for r in range(ef):
+            pos = jnp.argmin(pool_s, axis=1)  # [TB]
+            hit = pool_pos == pos[:, None]
+            is_r = r_col == r
+            new_s = jnp.where(is_r, jnp.min(pool_s, axis=1)[:, None], new_s)
+            new_i = jnp.where(
+                is_r, jnp.sum(jnp.where(hit, pool_i, 0), axis=1)[:, None],
+                new_i)
+            new_e = jnp.where(
+                is_r,
+                jnp.sum(jnp.where(hit, pool_e, 0), axis=1)[:, None],
+                new_e)
+            pool_s = jnp.where(hit, INF_SCORE, pool_s)
+        new_i = jnp.where(new_s >= INF_SCORE, -1, new_i)
+        return new_s, new_i, new_e
+
+    beam_s, beam_i, beam_e = lax.fori_loop(
+        0, max_steps, step, (beam_s, beam_i, beam_e))
+    out_s_ref[:] = beam_s
+    out_i_ref[:] = beam_i
+    out_nd_ref[pl.program_id(0), 0] = nd_acc[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "expand", "m0", "d", "max_steps", "metric",
+                     "interpret"))
+def beam_search_pallas(
+    queries: jax.Array,  # [B, D] f32 (B multiple of TB; pad outside)
+    q_sq: jax.Array,  # [B]
+    seed_scores: jax.Array,  # [B, ef] f32 ascending (INF padded)
+    seed_ids: jax.Array,  # [B, ef] i32 (-1 padded)
+    meta_packed: jax.Array,  # [cap, W] i32 (pack_meta)
+    nbr_vecs: jax.Array,  # [cap, M0*D] i8 (reshaped to [cap, M0, D])
+    *,
+    ef: int,
+    expand: int,
+    m0: int,
+    d: int,
+    max_steps: int,
+    metric: MetricKind,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused beam search. Returns (scores [B, ef], ids [B, ef], n_dist [])."""
+    b0 = queries.shape[0]
+    b = ((b0 + TB - 1) // TB) * TB
+    if b != b0:  # pad to a tile multiple; padded rows carry empty beams
+        pad = b - b0
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, queries.shape[1]), queries.dtype)])
+        q_sq = jnp.concatenate([q_sq, jnp.zeros((pad,), q_sq.dtype)])
+        seed_scores = jnp.concatenate(
+            [seed_scores, jnp.full((pad, ef), INF_SCORE, jnp.float32)])
+        seed_ids = jnp.concatenate(
+            [seed_ids, jnp.full((pad, ef), -1, jnp.int32)])
+    meta_w = meta_packed.shape[1]
+    nbr_vecs = nbr_vecs.reshape(nbr_vecs.shape[0], m0, d)
+    grid = (b // TB,)
+    kernel = functools.partial(
+        _kernel, ef=ef, expand=expand, m0=m0, d=d, max_steps=max_steps,
+        metric=metric)
+    out_s, out_i, out_nd = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, ef), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, ef), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # meta stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # vecs stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, ef), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, ef), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nd: full array,
+            # each sequential program writes its own row
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ef), jnp.float32),
+            jax.ShapeDtypeStruct((b, ef), jnp.int32),
+            jax.ShapeDtypeStruct((b // TB, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, 128), jnp.int32),       # sel_vmem (lane pad)
+            pltpu.VMEM((expand, TB, meta_w), jnp.int32),   # meta_scr
+            pltpu.VMEM((expand, TB, m0, d), jnp.int8),     # vec_scr
+            pltpu.SMEM((1, 1), jnp.int32),          # nd accumulator
+            pltpu.SemaphoreType.DMA(()),            # meta copies
+            pltpu.SemaphoreType.DMA(()),            # vec copies
+        ],
+        interpret=interpret,
+    )(queries, q_sq[:, None], seed_scores, seed_ids, meta_packed, nbr_vecs)
+    return out_s[:b0], out_i[:b0], jnp.sum(out_nd)

@@ -1,0 +1,119 @@
+"""Fused Pallas beam-search kernel vs a pure-JAX replica of the same
+algorithm (interpret mode on CPU; the real lowering is exercised on TPU
+by benchmarks + the verify drive)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from duckdb_vss_tpu.models.graph import (
+    make_graph,
+    make_neighborhood_tables,
+)
+from duckdb_vss_tpu.ops.pallas_beam import (
+    TB,
+    beam_search_pallas,
+    pack_meta,
+)
+from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.padding import INF_SCORE
+
+
+def _replica(queries, q_sq, seed_s, seed_i, nbr, v_scale, v_sq, vecs_i8,
+             ef, expand, m0, d, max_steps, metric):
+    """Same algorithm as the kernel, in plain jnp (the oracle)."""
+    b = queries.shape[0]
+    c = expand * m0
+    beam_s, beam_i = seed_s, seed_i
+    beam_e = jnp.zeros((b, ef), jnp.bool_)
+    ef_pos = jnp.arange(ef)[None]
+    for _ in range(max_steps):
+        key = jnp.where(beam_e | (beam_s >= INF_SCORE), INF_SCORE, beam_s)
+        sel_ids = jnp.zeros((b, expand), jnp.int32)
+        sel_ok = jnp.zeros((b, expand), bool)
+        for e in range(expand):
+            pos = jnp.argmin(key, axis=1)
+            hit = ef_pos == pos[:, None]
+            ok = jnp.min(key, axis=1) < INF_SCORE
+            picked = jnp.sum(jnp.where(hit, beam_i, 0), axis=1)
+            sel_ids = sel_ids.at[:, e].set(jnp.where(ok, picked, 0))
+            sel_ok = sel_ok.at[:, e].set(ok)
+            beam_e = beam_e | (hit & ok[:, None])
+            key = jnp.where(hit, INF_SCORE, key)
+        safe = jnp.maximum(sel_ids, 0)
+        nb = jnp.take(nbr, safe, axis=0).reshape(b, c)
+        vs = jnp.take(v_scale, safe, axis=0).reshape(b, c)
+        vq = jnp.take(v_sq, safe, axis=0).reshape(b, c)
+        cand = jnp.take(vecs_i8, safe, axis=0).reshape(
+            b, c, d).astype(jnp.float32)
+        dot = jnp.sum(cand * queries[:, None, :], axis=-1) * vs
+        if metric == MetricKind.L2SQ:
+            s_new = jnp.maximum(q_sq[:, None] - 2.0 * dot + vq, 0.0)
+        elif metric == MetricKind.IP:
+            s_new = 1.0 - dot
+        else:
+            denom = jnp.sqrt(q_sq[:, None] * vq)
+            s_new = 1.0 - dot / jnp.maximum(denom, 1e-30)
+        sel_valid = jnp.broadcast_to(
+            sel_ok[:, :, None], (b, expand, m0)).reshape(b, c)
+        valid = (nb >= 0) & sel_valid
+        in_beam = jnp.any(nb[:, :, None] == beam_i[:, None, :], axis=2)
+        dup_new = jnp.triu(nb[:, :, None] == nb[:, None, :], k=1).any(1)
+        keep = valid & ~in_beam & ~dup_new
+        s_new = jnp.where(keep, s_new, INF_SCORE)
+        pool_s = jnp.concatenate([beam_s, s_new], axis=1)
+        pool_i = jnp.concatenate([beam_i, jnp.where(keep, nb, -1)], axis=1)
+        pool_e = jnp.concatenate([beam_e, jnp.zeros((b, c), bool)], axis=1)
+        pool_pos = jnp.arange(ef + c)[None]
+        ns = jnp.zeros((b, ef), jnp.float32)
+        ni = jnp.full((b, ef), -1, jnp.int32)
+        ne = jnp.zeros((b, ef), bool)
+        for r in range(ef):
+            pos = jnp.argmin(pool_s, axis=1)
+            hit = pool_pos == pos[:, None]
+            ns = ns.at[:, r].set(jnp.min(pool_s, axis=1))
+            ni = ni.at[:, r].set(jnp.sum(jnp.where(hit, pool_i, 0), axis=1))
+            ne = ne.at[:, r].set(jnp.any(hit & pool_e, axis=1))
+            pool_s = jnp.where(hit, INF_SCORE, pool_s)
+        ni = jnp.where(ns >= INF_SCORE, -1, ni)
+        beam_s, beam_i, beam_e = ns, ni, ne
+    return beam_s, beam_i
+
+
+@pytest.mark.parametrize("metric", [MetricKind.L2SQ, MetricKind.IP])
+def test_pallas_beam_matches_replica(metric):
+    rng = np.random.default_rng(3)
+    n, d, m0, ef, expand, steps = 2048, 128, 32, 16, 4, 6
+    b = TB
+
+    vecs = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    vec_sq = jnp.sum(vecs * vecs, axis=-1)
+    nbr = jnp.asarray(rng.integers(0, n, (n, m0)).astype(np.int32))
+    # sprinkle -1 sentinels
+    mask = rng.random((n, m0)) < 0.1
+    nbr = jnp.where(jnp.asarray(mask), -1, nbr)
+
+    vecs_i8, v_scale, v_sq = make_neighborhood_tables(vecs, vec_sq, nbr)
+    meta = pack_meta(nbr, v_scale, v_sq)
+
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    q_sq = jnp.sum(q * q, axis=-1)
+    seeds = jnp.asarray(rng.integers(0, n, (b, ef)).astype(np.int32))
+    seed_s = jnp.abs(jnp.asarray(rng.normal(size=(b, ef)).astype(np.float32)))
+    seed_s = jnp.sort(seed_s, axis=1)
+
+    got_s, got_i, got_nd = beam_search_pallas(
+        q, q_sq, seed_s, seeds, meta, vecs_i8,
+        ef=ef, expand=expand, m0=m0, d=d, max_steps=steps, metric=metric,
+        interpret=True)
+
+    want_s, want_i = _replica(
+        q, q_sq, seed_s, seeds, nbr, v_scale, v_sq, vecs_i8,
+        ef, expand, m0, d, steps, metric)
+
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+    assert int(got_nd) > 0
