@@ -269,6 +269,18 @@ class HNSWIndex:
         build fraction in [0, 1] — the reference's task-level progress
         reporting (hnsw_index_physical_create.cpp:308-323 GetSinkProgress,
         build phase)."""
+        import os as _os2
+        import time as _time2
+        _trace = _os2.environ.get("DVT_BUILD_TRACE", "0") == "1"
+        _t = _time2.time()
+
+        def _mark(label):
+            nonlocal _t
+            if _trace:
+                now = _time2.time()
+                print(f"# hnsw.add {label}: {now - _t:.1f}s", flush=True)
+                _t = now
+
         vectors = np.asarray(vectors, np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
@@ -276,7 +288,9 @@ class HNSWIndex:
         n = vectors.shape[0]
         graph_empty = int(jax.device_get(self.graph.entry_node)) < 0
         self.reserve(self.store.size + n)
+        _mark("reserve")
         slots = self.store.add(vectors, keys)
+        _mark("store_add")
         self._trav_cache = None
         self._aug_cache = None
         self._nbr_cache = None
@@ -292,10 +306,12 @@ class HNSWIndex:
 
             if on_progress is not None:
                 on_progress(0.0)
+            _mark("pre_bulk")
             self.graph = bulk_build(
                 self.store._vectors, self.store._vec_sq,
                 np.asarray(slots, np.int32), levels, self.config,
                 self.metric, host_vectors=vectors)
+            _mark("bulk_build")
             self.build_distance_count += n * self.store.capacity  # exact sweep
             self.is_dirty = True
             if on_progress is not None:

@@ -114,8 +114,12 @@ def flat_topk(
 
     kc = min(k, block_n)
 
-    def step(carry, xs):
-        best_s, best_i = carry
+    # per block: matmul + per-block top-kc only; the running-merge is
+    # replaced by ONE final selection over all blocks' candidates —
+    # mathematically identical (global top-k = top-k of the union of
+    # per-block top-k's) and it removes nb-1 merge ops from the scan,
+    # which dominate the bulk sweep's wall-clock after the matmul
+    def step(_, xs):
         v, sq, va, off = xs
         s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq,
                          precision=precision)
@@ -127,14 +131,12 @@ def flat_topk(
         else:
             neg_top, pos = lax.top_k(-s, kc)
         blk_ids = pos.astype(jnp.int32) + off
-        best_s, best_i = merge_topk(best_s, best_i, -neg_top, blk_ids, k)
-        return (best_s, best_i), None
+        return 0, (-neg_top, blk_ids)
 
-    init = (
-        jnp.full((b, k), INF_SCORE, dtype=jnp.float32),
-        jnp.full((b, k), -1, dtype=jnp.int32),
-    )
-    (best_s, best_i), _ = lax.scan(
-        step, init, (v_blocks, sq_blocks, valid_blocks, offsets)
-    )
-    return best_s, best_i
+    _, (all_s, all_i) = lax.scan(
+        step, 0, (v_blocks, sq_blocks, valid_blocks, offsets)
+    )  # [nb, b, kc]
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, nb * kc)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, nb * kc)
+    neg_top, pos = lax.top_k(-all_s, k)
+    return -neg_top, jnp.take_along_axis(all_i, pos, axis=1)
