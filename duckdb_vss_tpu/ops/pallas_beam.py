@@ -94,6 +94,7 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
     nd_acc[0, 0] = 0
 
     q = q_ref[:]  # [TB, D] f32
+    q_bf = q.astype(jnp.bfloat16)
     q_sq = qsq_ref[:]  # [TB, 1]
 
     ef_pos = lax.broadcasted_iota(jnp.int32, (TB, ef), 1)
@@ -156,8 +157,13 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
             if _ABLATE == "noscore":
                 dot_e.append(meta_e[:, :m0].astype(jnp.float32))
             else:
-                cand_e = vec_scr[e].astype(jnp.float32)  # [TB, M0, D]
-                dot_e.append(jnp.sum(cand_e * q[:, None, :], axis=-1))
+                # bf16 products, f32 accumulate: halves the live VMEM of
+                # the scoring temporaries (the kernel's scoped budget
+                # bounds the query tile TB); the int8 quantization noise
+                # dominates the bf16 rounding anyway
+                cand_e = vec_scr[e].astype(jnp.bfloat16)  # [TB, M0, D]
+                prod = cand_e * q_bf[:, None, :]
+                dot_e.append(jnp.sum(prod.astype(jnp.float32), axis=-1))
         nbr = jnp.concatenate(nbr_e, axis=1)  # [TB, C]
         v_scale = lax.bitcast_convert_type(
             jnp.concatenate(scale_e, axis=1), jnp.float32)
