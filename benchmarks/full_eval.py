@@ -46,7 +46,7 @@ def config1_flat(rng):
     from duckdb_vss_tpu import MetricKind
     from duckdb_vss_tpu.models.flat import FlatIndex
 
-    n, d, k, nq = 100_000, 64, 10, 1024
+    n, d, k, nq = 100_000, 64, 10, 8192
     vecs = rng.normal(size=(n, d)).astype(np.float32)
     q = rng.normal(size=(nq, d)).astype(np.float32)
     idx = FlatIndex(d, MetricKind.L2SQ, capacity=n)
@@ -70,7 +70,7 @@ def config3_metrics(rng):
     from duckdb_vss_tpu import HNSWConfig, MetricKind
     from duckdb_vss_tpu.models.hnsw import HNSWIndex
 
-    n, d, k, nq = 100_000, 128, 10, 1024
+    n, d, k, nq = 100_000, 128, 10, 8192
     vecs, centers = clustered(rng, n, d, 1000)
     q = (centers[rng.integers(0, 1000, nq)]
          + 0.25 * rng.normal(size=(nq, d)).astype(np.float32))
