@@ -311,3 +311,20 @@ def test_neighborhood_layout_matches_flat_layout():
     # emitted distances are exact f32 for overlapping results
     both = got_flat == got_nbr
     np.testing.assert_allclose(s_nbr[both], s_flat[both], rtol=1e-5)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """tracing.trace captures an XLA profile around index ops
+    (SURVEY §5: profiler hooks alongside the search/build counters)."""
+    from duckdb_vss_tpu.utils.tracing import annotate, trace
+
+    rng = np.random.default_rng(2)
+    idx, v, keys = build_index(rng, n=512, d=16)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    with trace(str(tmp_path)):
+        with annotate("search"):
+            idx.search(q, 5, ef=16)
+    import glob
+    assert glob.glob(str(tmp_path) + "/**/*.pb", recursive=True) \
+        or glob.glob(str(tmp_path) + "/**/*.trace*", recursive=True) \
+        or glob.glob(str(tmp_path) + "/plugins/**", recursive=True)
