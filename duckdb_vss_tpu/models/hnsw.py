@@ -380,7 +380,7 @@ class HNSWIndex:
         expand: int = 4,
         descent_ef: int = 48,
         n_seeds: int = 8,
-        chunk: int = 1024,
+        chunk: int = 8192,
         max_steps: int | None = None,
         loop: str = "while",
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -394,8 +394,10 @@ class HNSWIndex:
         ef_eff = max(int(ef or self.config.ef_search), k)
         # bucket ef to limit distinct compiled programs
         ef_eff = round_up(ef_eff, 16)
-        # device programs are fastest around batch 1024: larger requests
-        # are chunked host-side (dispatches overlap; one D2H per chunk)
+        # big chunks amortize the per-dispatch round trip (measured:
+        # chunk 8192 nearly doubles 1M-scale QPS over 2048); larger
+        # requests are chunked host-side (dispatches overlap; one D2H
+        # per chunk)
         outs = []
         for off in range(0, b, chunk):
             q = self.store.prepare_queries(qarr[off : off + chunk])
