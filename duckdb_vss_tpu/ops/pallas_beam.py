@@ -308,6 +308,11 @@ def beam_search_pallas(
             pltpu.SemaphoreType.DMA(()),            # meta copies
             pltpu.SemaphoreType.DMA(()),            # vec copies
         ],
+        # the 16 MB scoped-VMEM default blocks TB>=128; v5e has 128 MB
+        # VMEM per core, so give the kernel room for bigger query tiles
+        # (fewer grid steps -> less per-tile fixed cost)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(queries, q_sq[:, None], seed_scores, seed_ids, meta_packed, nbr_vecs)
     return out_s[:b0], out_i[:b0], jnp.sum(out_nd)
