@@ -710,11 +710,14 @@ def search_graph(
             descent_steps=descent_steps,
         )
     ef_eff = max(ef, k)
-    # the fused kernel's scoped VMEM grows with ef (merge-loop
-    # intermediates) and expand (candidate scratch); past these bounds
-    # Mosaic exceeds the 16 MB scoped limit — fall back to the XLA beam
+    # the fused kernel's merge loop unrolls ef iterations per step, so
+    # kernel size and Mosaic compile time grow with ef (ef=64 measured a
+    # ~7 min compile); the XLA beam's lax.top_k merge handles wide
+    # beams better — route only the small/medium-ef operating points
+    # (where the kernel wins: 0.982@ef16, 0.996@ef32 on 1M x 128)
+    # through the kernel
     if (pallas_beam and nbr_vecs is not None and nbr_meta is not None
-            and ef_eff <= 64 and expand <= 8):
+            and ef_eff <= 32 and expand <= 8):
         from duckdb_vss_tpu.ops.pallas_beam import beam_search_pallas
 
         # seed beam: score + dedup + sort the descent seeds
