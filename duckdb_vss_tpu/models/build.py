@@ -209,6 +209,55 @@ def _apply_backlinks(
     return lax.fori_loop(0, rounds_needed, round_fn, table)
 
 
+def _force_nearest_backlink(
+    table: jax.Array,  # [T, Mcap]
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    tgt: jax.Array,  # [B] the new node's CLOSEST forward target
+    src: jax.Array,  # [B] the new node
+    act: jax.Array,  # [B]
+    metric: MetricKind,
+    r_rounds: int,
+) -> jax.Array:
+    """Guarantee src an in-link from its nearest forward target.
+
+    The bulk MXU build saturates every neighbor row (exact-kNN prune to
+    a full M0), so incremental back-links must displace an existing edge
+    via the diversity heuristic — and a new point is by construction the
+    most redundant candidate at its CLOSEST targets, which reject it.
+    Measured at 1M x 128 clustered: a third of inserted nodes keep only
+    far-away in-links and become unreachable at practical ef
+    (self-recall@1 stuck at 0.66 from ef=16 through 128). usearch dodges
+    this only because its incrementally grown rows usually have empty
+    slots to append into (reconnect_neighbor_nodes_,
+    index.hpp:3290-3306). Here the nearest target always adopts the new
+    node, evicting its farthest current neighbor (a fill of an empty
+    slot when one exists, since empties sort as INF)."""
+    t_vec = jnp.take(vectors, jnp.maximum(tgt, 0), axis=0)
+    t_sq = jnp.take(vec_sq, jnp.maximum(tgt, 0), axis=0)
+    ranks = _group_ranks(jnp.where(act, tgt, -1), jnp.zeros_like(t_sq))
+
+    m_cap = table.shape[1]
+    col = jnp.arange(m_cap, dtype=jnp.int32)[None]
+
+    def round_fn(r, table):
+        sel = act & (ranks == r)
+        rows = jnp.take(table, jnp.maximum(tgt, 0), axis=0)  # [B, Mcap]
+        present = jnp.any(rows == src[:, None], axis=1)
+        d = gather_scores(vectors, vec_sq, rows, t_vec, t_sq, metric)
+        d = jnp.where(rows >= 0, d, INF_SCORE)  # empty slots evict first
+        victim = jnp.argmax(d, axis=1)  # [B]
+        new_rows = jnp.where(
+            (col == victim[:, None]) & ~present[:, None] & sel[:, None],
+            src[:, None], rows)
+        row_idx = jnp.where(sel, tgt, jnp.int32(2**30))
+        return table.at[row_idx].set(new_rows, mode="drop")
+
+    rounds_needed = jnp.minimum(
+        jnp.max(jnp.where(act, ranks, -1)) + 1, r_rounds)
+    return lax.fori_loop(0, rounds_needed, round_fn, table)
+
+
 def insert_batch_impl(
     state: GraphState,
     vectors: jax.Array,  # [cap, D] — already contains the new vectors
@@ -339,7 +388,24 @@ def insert_batch_impl(
     state = state._replace(upper_neighbors=upper_neighbors)
 
     # ---- phase B: base layer ------------------------------------------
-    seed_ids = jnp.concatenate([seeds, peer_ids], axis=1)
+    # exact coarse routing for the base seeds: the greedy top-down walk
+    # strands a third of clustered inserts in the wrong region (forward
+    # degree 1-4 at garbage distances, nodes unreachable afterwards —
+    # the same local-minimum failure mxu_descent fixed for search),
+    # so score the batch against ALL upper-level nodes in one matmul
+    from duckdb_vss_tpu.models.graph import mxu_descent
+
+    u_safe = jnp.maximum(state.upper_node, 0)
+    uvecs = jnp.take(vectors, u_safe, axis=0).astype(jnp.bfloat16)
+    uvsq = jnp.take(vec_sq, u_safe) * (state.upper_node >= 0)
+    mxu_seeds, nd_mxu = mxu_descent(
+        uvecs, uvsq, state.upper_node, state.entry_node, q, q_sq, metric,
+        n_seeds=8)
+    n_dist = n_dist + nd_mxu
+    # never seed a node with itself
+    mxu_seeds = jnp.where(mxu_seeds == new_slots[:, None], -1, mxu_seeds)
+
+    seed_ids = jnp.concatenate([seeds, mxu_seeds, peer_ids], axis=1)
     scores, ids, nd = beam_search(
         state, vectors, vec_sq, q, q_sq, seed_ids, ef_construction, metric,
         level=0, expand=expand, active=active,
@@ -361,6 +427,11 @@ def insert_batch_impl(
         neighbors0, vectors, vec_sq, tgt, src, act,
         jnp.where(act, tgt, -1), metric, r_rounds, prune,
     )
+    # reachability floor: the nearest forward target always adopts the
+    # new node (see _force_nearest_backlink)
+    neighbors0 = _force_nearest_backlink(
+        neighbors0, vectors, vec_sq, sel[:, 0], new_slots,
+        active & (sel[:, 0] >= 0), metric, r_rounds)
     state = state._replace(neighbors0=neighbors0)
 
     # ---- entry point / max level update (index.hpp global_mutex_ analog)

@@ -328,3 +328,27 @@ def test_profiler_trace_smoke(tmp_path):
     assert glob.glob(str(tmp_path) + "/**/*.pb", recursive=True) \
         or glob.glob(str(tmp_path) + "/**/*.trace*", recursive=True) \
         or glob.glob(str(tmp_path) + "/plugins/**", recursive=True)
+
+
+def test_incremental_insert_into_bulk_clustered_reachable():
+    """Inserts into a bulk-built CLUSTERED index must stay findable:
+    the insert-time base beam needs exact (MXU) coarse routing — the
+    greedy top-down walk strands a fraction of clustered inserts in the
+    wrong region, leaving them with garbage forward edges and no usable
+    in-links (measured 0.66 self-recall@1 at 1M x 128 before the fix,
+    1.0 after)."""
+    rng = np.random.default_rng(5)
+    ncl, d, n = 256, 64, 16000
+    centers = rng.normal(size=(ncl, d)).astype(np.float32)
+    v = (centers[rng.integers(0, ncl, n)]
+         + 0.25 * rng.normal(size=(n, d))).astype(np.float32)
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n + 2048, build_batch=256)
+    idx.add(v, np.arange(n))
+
+    new = (centers[rng.integers(0, ncl, 1024)]
+           + 0.25 * rng.normal(size=(1024, d))).astype(np.float32)
+    keys = np.arange(10_000_0, 10_000_0 + 1024)
+    idx.add(new, keys)
+    _, got = idx.search(new[:256], 1, ef=16)
+    self_rec = float(np.mean(got[:, 0] == keys[:256]))
+    assert self_rec >= 0.97, self_rec
