@@ -132,10 +132,13 @@ def save_index(index, path: str) -> None:
                  free_slots=np.asarray(st._free_slots, np.int64))
     lib = get_lib()
     if lib is None:
-        np.savez(path, __meta__=np.array([list(meta.values())], np.int64),
-                 __meta_keys__=np.array(list(meta.keys())),
-                 __next_slot__=np.int64(extra["next_slot"]),
-                 __free_slots__=extra["free_slots"], **arrays)
+        # np.savez appends ".npz" to bare string paths; write through a file
+        # object so the caller's exact path is honored.
+        with open(path, "wb") as f:
+            np.savez(f, __meta__=np.array([list(meta.values())], np.int64),
+                     __meta_keys__=np.array(list(meta.keys())),
+                     __next_slot__=np.int64(extra["next_slot"]),
+                     __free_slots__=extra["free_slots"], **arrays)
         return
     hdr = _FileHeader()
     for k, v in meta.items():
