@@ -22,7 +22,11 @@ if not _os.environ.get("DVT_NO_COMPILE_CACHE"):
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist even sub-second compiles: on a tunneled TPU every compile
+    # pays seconds of round-trip, so re-compiling the dozens of tiny
+    # eager ops per process dominates cold-start (measured: reserve()
+    # alone swung 0.4s -> 27s between processes before this)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from duckdb_vss_tpu.utils.config import (  # noqa: F401
     BinderError,

@@ -42,6 +42,15 @@ KNN_K = 48  # forward kNN candidates per node
 REV_R = 16  # reverse-kNN candidates kept per node
 RAND_S = 8  # pseudo-random small-world candidates per node
 
+# IVF-pruned kNN sweep (phase 1) — kicks in above this row count. Below
+# it the exact O(N^2) blockwise sweep is cheap enough.
+IVF_MIN_N = 131_072
+IVF_AVG_CLUSTER = 2048  # target mean cluster size
+IVF_CAND_MAX = 32_768  # candidate rows scored per query chunk
+IVF_QB = 4096  # query rows per chunk (sorted-order, cluster-coherent)
+IVF_KMEANS_ITERS = 4
+IVF_ASSIGN_CHUNK = 65_536
+
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
 def _knn_block(q_block, slots, vectors, vec_sq, valid, k, metric, block_n):
@@ -56,6 +65,51 @@ def _knn_block(q_block, slots, vectors, vec_sq, valid, k, metric, block_n):
     ids = jnp.where(self_hit, -1, ids)
     neg, pos = lax.top_k(-scores, k)
     return -neg, jnp.take_along_axis(ids, pos, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_l", "m", "metric", "block_n", "qb", "n_chunks",
+                     "is_lv1"))
+def _upper_level_build(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
+                       un, highways, k_l, m, metric, block_n, qb,
+                       n_chunks, is_lv1):
+    """One whole upper level inside a single jit: kNN + diversity prune
+    for every qb-chunk of the level's node set, scattering forward lists
+    into ``un`` (and, at level 1, ``highways``). A fori_loop carries the
+    chunk offset so no shape or constant varies per chunk — one compile
+    per cap_s tier instead of per (level, offset) eager dispatch."""
+    cap_s = nodes_j.shape[0]
+    row_live = jnp.arange(cap_s, dtype=jnp.int32) < n_l
+    sub = jnp.where(row_live[:, None],
+                    jnp.take(vectors, nodes_j, axis=0), 0.0)
+    sub_sq = jnp.take(vec_sq, nodes_j) * row_live
+    sub_bf = sub.astype(jnp.bfloat16)
+
+    def chunk_body(ci, carry):
+        un, highways = carry
+        pos = ci * qb + jnp.arange(qb, dtype=jnp.int32)
+        posm = jnp.where(pos < n_l, pos, -1)
+        q_block = jnp.take(sub, jnp.maximum(posm, 0), axis=0)
+        sc, ids = _knn_block(q_block, posm, sub_bf, sub_sq, row_live,
+                             k_l, metric, block_n)
+        sel = _prune_chunk(ids, sc, sub, sub_sq, m, metric)
+        sel_global = jnp.where(
+            sel >= 0, jnp.take(nodes_j, jnp.maximum(sel, 0)), -1)
+        chunk_nodes = jnp.where(
+            posm >= 0, jnp.take(nodes_j, jnp.maximum(posm, 0)), -1)
+        us_rows = jnp.where(
+            chunk_nodes >= 0,
+            jnp.take(upper_slot_j, jnp.maximum(chunk_nodes, 0)), -1)
+        us_rows = jnp.where(us_rows >= 0, us_rows, jnp.int32(2**30))
+        un = un.at[us_rows, lv - 1].set(sel_global, mode="drop")
+        if is_lv1:
+            hw_rows = jnp.where(chunk_nodes >= 0, chunk_nodes,
+                                jnp.int32(2**30))
+            highways = highways.at[hw_rows].set(sel_global, mode="drop")
+        return un, highways
+
+    return lax.fori_loop(0, n_chunks, chunk_body, (un, highways))
 
 
 @functools.partial(jax.jit, static_argnames=("m_out", "metric"))
@@ -88,6 +142,167 @@ def _reverse_candidates(knn_ids, knn_scores, rev_r):
     return out.at[row, col].set(jnp.where(keep, src, -1), mode="drop")
 
 
+# ---------------------------------------------------------------------------
+# IVF-pruned kNN sweep. The exact phase-1 sweep scores every query chunk
+# against all N rows; its wall-clock bound is the per-block top-k over
+# [QB, N] scores, not the matmul. Above IVF_MIN_N rows we instead k-means
+# the store (a few chunked assign/update passes — pure MXU), sort rows by
+# cluster, and score each sorted query chunk only against the members of
+# its clusters' nearest ~IVF_CAND_MAX/avg_cluster clusters. Total selection
+# work drops ~30x at 1M rows. Candidates feed graph construction (which
+# already tolerates approx_max_k slack); user-facing search is untouched.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _kmeans_pass(vectors, vec_sq, slot_chunks, centers, normalize):
+    """One Lloyd iteration over slot chunks: assign + accumulate.
+
+    slot_chunks [n_chunks, AB] (-1 pad). Returns (new_centers, asg
+    [n_chunks*AB], counts [C]). Clustering always runs in l2 space
+    (cosine rows are pre-normalized) — a routing heuristic, not a result.
+    """
+    c, d = centers.shape
+    c_bf = centers.astype(jnp.bfloat16)
+    c_sq = jnp.sum(centers * centers, axis=1)
+
+    def step(carry, sl):
+        sums, counts = carry
+        x = jnp.take(vectors, jnp.maximum(sl, 0), axis=0)
+        if normalize:
+            sq = jnp.take(vec_sq, jnp.maximum(sl, 0))
+            x = x * lax.rsqrt(jnp.maximum(sq, 1e-30))[:, None]
+        dots = lax.dot_general(
+            x.astype(jnp.bfloat16), c_bf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d2 = c_sq[None, :] - 2.0 * dots
+        asg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        live = sl >= 0
+        row = jnp.where(live, asg, c)  # drop pads
+        sums = sums.at[row].add(
+            jnp.where(live[:, None], x, 0.0), mode="drop")
+        counts = counts.at[row].add(live.astype(jnp.int32), mode="drop")
+        return (sums, counts), asg
+
+    (sums, counts), asg = lax.scan(
+        step, (jnp.zeros((c, d), jnp.float32), jnp.zeros((c,), jnp.int32)),
+        slot_chunks)
+    new_centers = jnp.where(
+        (counts > 0)[:, None], sums / jnp.maximum(counts, 1)[:, None],
+        centers)
+    return new_centers, asg.reshape(-1), counts
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "k", "metric"))
+def _ivf_knn_scan(q_slot_chunks, cand_slot_chunks, vectors, vectors_bf,
+                  vec_sq, cap, k, metric):
+    """Score every query chunk against its candidate slots; scatter the
+    per-row top-k (self removed) into [cap, k] tables on device."""
+    from duckdb_vss_tpu.ops.distance import score_matrix
+
+    def step(carry, xs):
+        knn_ids, knn_sc = carry
+        q_slots, cand_slots = xs
+        q = jnp.take(vectors, jnp.maximum(q_slots, 0), axis=0)
+        q_sq = jnp.take(vec_sq, jnp.maximum(q_slots, 0))
+        cand = jnp.take(vectors_bf, jnp.maximum(cand_slots, 0), axis=0)
+        cand_sq = jnp.take(vec_sq, jnp.maximum(cand_slots, 0))
+        s = score_matrix(q.astype(vectors_bf.dtype), cand, metric,
+                         vec_sq=cand_sq, query_sq=q_sq,
+                         precision=lax.Precision.DEFAULT)
+        s = jnp.where((cand_slots >= 0)[None, :], s, INF_SCORE)
+        neg, pos = lax.approx_max_k(-s, k + 1, recall_target=0.95)
+        ids = jnp.take(cand_slots, pos.astype(jnp.int32))
+        sc = -neg
+        self_hit = ids == q_slots[:, None]
+        sc = jnp.where(self_hit, INF_SCORE, sc)
+        ids = jnp.where(sc < INF_SCORE, ids, -1)
+        neg2, p2 = lax.top_k(-sc, k)
+        sc_k = -neg2
+        ids_k = jnp.take_along_axis(ids, p2, axis=1)
+        rows = jnp.where(q_slots >= 0, q_slots, jnp.int32(2**30))
+        knn_ids = knn_ids.at[rows].set(ids_k, mode="drop")
+        knn_sc = knn_sc.at[rows].set(sc_k, mode="drop")
+        return (knn_ids, knn_sc), None
+
+    init = (jnp.full((cap, k), -1, jnp.int32),
+            jnp.full((cap, k), INF_SCORE, jnp.float32))
+    (knn_ids, knn_sc), _ = lax.scan(
+        step, init, (q_slot_chunks, cand_slot_chunks))
+    return knn_ids, knn_sc
+
+
+def _ivf_candidates(asg, slots, centers, qb, cand_max):
+    """Host-side probe assembly. Rows sorted by cluster; each qb-chunk of
+    sorted rows gets the members of the clusters nearest to its present
+    clusters (full clusters, nearest-first) up to cand_max slots.
+
+    Returns (q_slot_chunks [nc, qb], cand_slot_chunks [nc, cand_max]).
+    """
+    n = len(slots)
+    c = len(centers)
+    order = np.argsort(asg, kind="stable")
+    slots_sorted = slots[order]
+    asg_sorted = asg[order]
+    counts = np.bincount(asg, minlength=c)
+    starts = np.zeros(c + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    c_sq = (centers * centers).sum(1)
+    cd = c_sq[:, None] - 2.0 * (centers @ centers.T) + c_sq[None, :]
+    nc = -(-n // qb)
+    q_chunks = np.full((nc, qb), -1, np.int32)
+    cand = np.full((nc, cand_max), -1, np.int32)
+    for ci in range(nc):
+        lo, hi = ci * qb, min(n, (ci + 1) * qb)
+        q_chunks[ci, : hi - lo] = slots_sorted[lo:hi]
+        c_lo, c_hi = int(asg_sorted[lo]), int(asg_sorted[hi - 1])
+        d_min = cd[c_lo : c_hi + 1].min(axis=0)  # [C]
+        near = np.argsort(d_min, kind="stable")
+        fill = 0
+        for cc in near:
+            s, e = int(starts[cc]), int(starts[cc + 1])
+            take = min(e - s, cand_max - fill)
+            if take > 0:
+                cand[ci, fill : fill + take] = slots_sorted[s : s + take]
+                fill += take
+            if fill >= cand_max:
+                break
+    return q_chunks, cand
+
+
+def _ivf_knn_sweep(vectors, vectors_bf, vec_sq, slots, knn_k, metric):
+    """IVF-pruned kNN lists for all rows: (knn_ids, knn_sc) [cap, K] on
+    device. See the section comment above."""
+    n = len(slots)
+    cap = vectors.shape[0]
+    target = max(1, n // IVF_AVG_CLUSTER)
+    c = int(np.clip(1 << int(round(np.log2(target))), 64, 2048))
+    normalize = metric == MetricKind.COSINE
+    ab = IVF_ASSIGN_CHUNK
+    n_pad = -(-n // ab) * ab
+    slot_chunks = np.full((n_pad,), -1, np.int32)
+    slot_chunks[:n] = slots
+    slot_chunks_j = jnp.asarray(slot_chunks.reshape(-1, ab))
+    init_idx = np.linspace(0, n - 1, c).astype(np.int64)
+    centers = jnp.take(vectors, jnp.asarray(slots[init_idx]), axis=0)
+    if normalize:
+        csq = jnp.sum(centers * centers, axis=1)
+        centers = centers * jax.lax.rsqrt(
+            jnp.maximum(csq, 1e-30))[:, None]
+    asg = None
+    for _ in range(IVF_KMEANS_ITERS):
+        centers, asg, _counts = _kmeans_pass(
+            vectors, vec_sq, slot_chunks_j, centers, normalize)
+    asg_np = np.asarray(jax.device_get(asg))[:n]
+    centers_np = np.asarray(jax.device_get(centers), np.float32)
+    q_chunks, cand = _ivf_candidates(
+        asg_np, slots, centers_np, IVF_QB, IVF_CAND_MAX)
+    return _ivf_knn_scan(
+        jnp.asarray(q_chunks), jnp.asarray(cand), vectors, vectors_bf,
+        vec_sq, cap, knn_k, metric)
+
+
 def _build_upper_levels(
     vectors: jax.Array,
     vec_sq: jax.Array,
@@ -115,6 +330,18 @@ def _build_upper_levels(
     highways [cap, m] — the level-1 lists in global-slot space, used as
     long-range candidates for the base layer).
     """
+    import os as _os2
+    import time as _time2
+    _trace = _os2.environ.get("DVT_BUILD_TRACE", "0") == "1"
+    _t = [_time2.time()]
+
+    def _mark(label):
+        if _trace:
+            jax.block_until_ready(jnp.zeros(()) + 0)
+            now = _time2.time()
+            print(f"#   upper {label}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
+
     cap_u = max(cap // UPPER_DIV, 64)
     upper_mask = levels >= 1
     up_slots = slots[upper_mask]
@@ -145,37 +372,14 @@ def _build_upper_levels(
         pad_nodes = np.zeros((cap_s,), np.int32)
         pad_nodes[:n_l] = nodes_l
         nodes_j = jnp.asarray(pad_nodes)
-        row_live = jnp.arange(cap_s) < n_l
-        sub = jnp.take(vectors, nodes_j, axis=0)
-        sub = jnp.where(row_live[:, None], sub, 0.0)
-        sub_sq = jnp.take(vec_sq, nodes_j) * row_live
-        sub_bf = sub.astype(jnp.bfloat16)
         k_l = min(2 * m, cap_s - 1)
         block_n = cap_s if cap_s < 16384 else 16384
-        qb = query_block
-        for off in range(0, n_l, qb):
-            pos = jnp.arange(off, off + qb, dtype=jnp.int32)
-            pos = jnp.where(pos < n_l, pos, -1)
-            q_block = jnp.take(sub, jnp.maximum(pos, 0), axis=0)
-            sc, ids = _knn_block(q_block, pos, sub_bf, sub_sq, row_live,
-                                 k_l, metric, block_n)
-            sel = _prune_chunk(ids, sc, sub, sub_sq, m, metric)
-            sel_global = jnp.where(
-                sel >= 0, jnp.take(nodes_j, jnp.maximum(sel, 0)), -1)
-            chunk_nodes = jnp.take(
-                jnp.asarray(np.concatenate([nodes_l.astype(np.int32),
-                                            np.full((qb,), -1, np.int32)])),
-                jnp.arange(off, off + qb))
-            us_rows = jnp.where(
-                chunk_nodes >= 0,
-                jnp.take(upper_slot_j, jnp.maximum(chunk_nodes, 0)),
-                -1)
-            us_rows = jnp.where(us_rows >= 0, us_rows, jnp.int32(2**30))
-            un = un.at[us_rows, lv - 1].set(sel_global, mode="drop")
-            if lv == 1:
-                hw_rows = jnp.where(chunk_nodes >= 0, chunk_nodes,
-                                    jnp.int32(2**30))
-                highways = highways.at[hw_rows].set(sel_global, mode="drop")
+        qb = min(query_block, cap_s)
+        un, highways = _upper_level_build(
+            vectors, vec_sq, nodes_j, jnp.int32(n_l), jnp.int32(lv),
+            upper_slot_j, un, highways, k_l, m, metric, block_n, qb,
+            cap_s // qb, lv == 1)
+        _mark(f"lv{lv}(n_l={n_l},cap_s={cap_s})")
     return (un, upper_slot_j, jnp.asarray(upper_node_np),
             jnp.int32(n_up), jnp.int32(entry), jnp.int32(max_level),
             highways, lv_clamped)
@@ -253,27 +457,37 @@ def bulk_build(
                                max_level=jnp.int32(0))
 
     _mark("phase0_upper_levels")
-    # ---- 1. exact kNN sweep (MXU, bf16 table) -----------------------
+    # ---- 1. kNN sweep (MXU, bf16 table) -----------------------------
+    # exact blockwise at small n; IVF-pruned above IVF_MIN_N (or forced
+    # either way via DVT_BUILD_KNN=exact|ivf)
+    knn_mode = _os.environ.get("DVT_BUILD_KNN", "auto")
+    use_ivf = (knn_mode == "ivf" or
+               (knn_mode == "auto" and n >= IVF_MIN_N))
     qb = query_block
-    knn_ids = np.full((cap, knn_k), -1, np.int32)
-    knn_sc = np.full((cap, knn_k), INF_SCORE, np.float32)
-    block_n = min(16384, cap)
     slots_j = jnp.asarray(slots, jnp.int32)
     vectors_bf = vectors.astype(jnp.bfloat16)
-    for off in range(0, n, qb):
-        chunk = slots_j[off : off + qb]
-        pad = qb - chunk.shape[0]
-        if pad:
-            chunk = jnp.concatenate([chunk, jnp.full((pad,), -1, jnp.int32)])
-        q_block = jnp.take(vectors, jnp.maximum(chunk, 0), axis=0)
-        sc, ids = _knn_block(q_block, chunk, vectors_bf, vec_sq, valid,
-                             knn_k, metric, block_n)
-        sc_np, ids_np = jax.device_get((sc, ids))
-        take = min(qb, n - off)
-        knn_ids[slots[off : off + take]] = ids_np[:take]
-        knn_sc[slots[off : off + take]] = sc_np[:take]
-    knn_ids_j = jnp.asarray(knn_ids)
-    knn_sc_j = jnp.asarray(knn_sc)
+    if use_ivf:
+        knn_ids_j, knn_sc_j = _ivf_knn_sweep(
+            vectors, vectors_bf, vec_sq, slots, knn_k, metric)
+    else:
+        knn_ids = np.full((cap, knn_k), -1, np.int32)
+        knn_sc = np.full((cap, knn_k), INF_SCORE, np.float32)
+        block_n = min(16384, cap)
+        for off in range(0, n, qb):
+            chunk = slots_j[off : off + qb]
+            pad = qb - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.full((pad,), -1, jnp.int32)])
+            q_block = jnp.take(vectors, jnp.maximum(chunk, 0), axis=0)
+            sc, ids = _knn_block(q_block, chunk, vectors_bf, vec_sq, valid,
+                                 knn_k, metric, block_n)
+            sc_np, ids_np = jax.device_get((sc, ids))
+            take = min(qb, n - off)
+            knn_ids[slots[off : off + take]] = ids_np[:take]
+            knn_sc[slots[off : off + take]] = sc_np[:take]
+        knn_ids_j = jnp.asarray(knn_ids)
+        knn_sc_j = jnp.asarray(knn_sc)
 
     _mark("phase1_knn_sweep")
     # ---- 2. reverse candidates + diversity prune to M0 --------------
