@@ -672,6 +672,10 @@ def search_graph(
     descent: str = "beam",  # "beam" | "mxu"
     upper_vecs: jax.Array | None = None,  # required for descent="mxu"
     upper_vec_sq: jax.Array | None = None,
+    upper_nodes: jax.Array | None = None,  # slot->node map matching
+    # upper_vecs' row count (a compacted slice of state.upper_node;
+    # upper slots are allocated sequentially so rows past upper_count
+    # are never live). Defaults to the full state.upper_node.
     aug_table: jax.Array | None = None,  # augmented traversal (make_aug_table)
     nbr_vecs: jax.Array | None = None,  # neighborhood layout (make_
     nbr_scale: jax.Array | None = None,  # neighborhood_tables: i8 rows,
@@ -701,8 +705,9 @@ def search_graph(
 
     if descent == "mxu":
         seeds, n_dist0 = mxu_descent(
-            upper_vecs, upper_vec_sq, state.upper_node, state.entry_node,
-            queries, q_sq, metric, n_seeds)
+            upper_vecs, upper_vec_sq,
+            state.upper_node if upper_nodes is None else upper_nodes,
+            state.entry_node, queries, q_sq, metric, n_seeds)
     else:
         seeds, n_dist0 = beam_descent(
             state, trav, vec_sq, queries, q_sq, metric,

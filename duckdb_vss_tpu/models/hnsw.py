@@ -46,7 +46,7 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                      traversal_vectors=None, descent="beam",
                      upper_vecs=None, upper_vec_sq=None, aug_table=None,
                      nbr_vecs=None, nbr_scale=None, nbr_sq=None,
-                     nbr_meta=None, pallas_beam=False):
+                     nbr_meta=None, pallas_beam=False, upper_nodes=None):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
@@ -55,7 +55,8 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         upper_vecs=upper_vecs, upper_vec_sq=upper_vec_sq,
                         aug_table=aug_table, nbr_vecs=nbr_vecs,
                         nbr_scale=nbr_scale, nbr_sq=nbr_sq,
-                        nbr_meta=nbr_meta, pallas_beam=pallas_beam)
+                        nbr_meta=nbr_meta, pallas_beam=pallas_beam,
+                        upper_nodes=upper_nodes)
 
 
 @jax.jit
@@ -242,21 +243,28 @@ class HNSWIndex:
                     self.store._vectors, self.store._vec_sq, self.metric)
         return self._aug_cache
 
-    def _upper_vectors(self) -> tuple[jax.Array, jax.Array]:
-        """[cap_u, D] vector table of upper-level (level>=1) nodes for
-        the MXU descent, derived lazily from the store through the
-        graph's upper_node map. bf16 rows (routing only; seeds feed an
-        exact-reranked beam) + f32 squared norms."""
+    def _upper_vectors(self) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """(rows [u_lim, D] bf16, sq [u_lim] f32, nodes [u_lim] int32) —
+        vector table of upper-level (level>=1) nodes for the MXU
+        descent, derived lazily from the store through the graph's
+        upper_node map. Compacted to a power-of-two bucket of
+        upper_count: upper slots are allocated sequentially, so rows
+        past upper_count are never live and scanning the full
+        cap//UPPER_DIV table wastes ~4x descent matmul + top-k work.
+        bf16 rows (routing only; seeds feed an exact-reranked beam)."""
+        cap_u = self.graph.upper_node.shape[0]
+        n_up = int(jax.device_get(self.graph.upper_count))
+        u_lim = min(cap_u, max(256, 1 << max(0, n_up - 1).bit_length()))
         if self._upper_cache is None or (
-                self._upper_cache[0].shape[0]
-                != self.graph.upper_node.shape[0]):
-            node = self.graph.upper_node
+                self._upper_cache[0].shape[0] != u_lim):
+            node = self.graph.upper_node[:u_lim]
             safe = jnp.maximum(node, 0)
             rows = jnp.take(self.store._vectors, safe, axis=0)
             rows = jnp.where((node >= 0)[:, None], rows, 0.0)
             self._upper_cache = (
                 rows.astype(jnp.bfloat16),
                 jnp.take(self.store._vec_sq, safe) * (node >= 0),
+                node,
             )
         return self._upper_cache
 
@@ -401,8 +409,9 @@ class HNSWIndex:
         outs = []
         for off in range(0, b, chunk):
             q = self.store.prepare_queries(qarr[off : off + chunk])
-            uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
-                        else (None, None))
+            uv, uvsq, unode = (self._upper_vectors()
+                               if self.descent == "mxu"
+                               else (None, None, None))
             nv, nscale, nsq, nmeta = self._neighborhood_tables()
             # with the neighborhood layout the base beam reads nv/nsq;
             # a separate traversal copy is only needed for beam descent
@@ -417,7 +426,8 @@ class HNSWIndex:
                 descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
                 aug_table=(None if nv is not None else self._aug_table()),
                 nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,
-                pallas_beam=self.use_pallas_beam and nv is not None),
+                pallas_beam=self.use_pallas_beam and nv is not None,
+                upper_nodes=unode),
                 min(chunk, b - off)))
         scores_list, keys_list, nd_total = [], [], 0
         for (scores, slots, nd), nb in outs:
@@ -436,8 +446,9 @@ class HNSWIndex:
                       ef: int | None = None, expand: int = 4):
         """Device-resident search: returns (scores, slots, n_dist)."""
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
-        uv, uvsq = (self._upper_vectors() if self.descent == "mxu"
-                    else (None, None))
+        uv, uvsq, unode = (self._upper_vectors()
+                           if self.descent == "mxu"
+                           else (None, None, None))
         nv, nscale, nsq, nmeta = self._neighborhood_tables()
         want_trav = (self.descent == "beam"
                      or (nv is None and not self.use_aug))
@@ -449,7 +460,8 @@ class HNSWIndex:
             descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
             aug_table=(None if nv is not None else self._aug_table()),
             nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,
-            pallas_beam=self.use_pallas_beam and nv is not None)
+            pallas_beam=self.use_pallas_beam and nv is not None,
+            upper_nodes=unode)
 
     # ------------------------------------------------------------------
     def compact(self) -> None:

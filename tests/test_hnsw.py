@@ -280,7 +280,7 @@ def test_bulk_upper_levels_structure():
         assert np.all(levels[tgt] >= 1), "level-1 edge to a base-only node"
         assert not np.any(tgt == s), "self edge"
     # upper vector table used by the MXU descent is aligned with the map
-    uv, uvsq = idx._upper_vectors()
+    uv, uvsq, _unode_tbl = idx._upper_vectors()
     uv = np.asarray(uv, np.float32)
     for us in (uslot[uppers[:8]]).tolist():
         node = unode[us]
