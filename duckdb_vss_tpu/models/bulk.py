@@ -323,7 +323,15 @@ def _ivf_knn_sweep(vectors, vectors_bf, vec_sq, slots, knn_k, metric):
     cap = vectors.shape[0]
     target = max(1, n // IVF_AVG_CLUSTER)
     c = int(np.clip(1 << int(round(np.log2(target))), 64, 2048))
-    normalize = metric == MetricKind.COSINE
+    # Cluster in a space where proximity predicts good candidates under
+    # the *index* metric (clustering is routing only; candidate scoring
+    # in _ivf_knn_scan uses the real metric). For IP, raw-L2 clusters
+    # are a poor proxy on variable-norm data — a high-norm row far from
+    # the origin never lands near a low-norm query's cluster even when
+    # aligned — so cluster directions (spherical k-means), same as
+    # cosine. Norm extremes within a direction share a cluster, so the
+    # IP-best high-norm rows are probed.
+    normalize = metric in (MetricKind.COSINE, MetricKind.IP)
     ab = IVF_ASSIGN_CHUNK
     n_pad = -(-n // ab) * ab
     slot_chunks = np.full((n_pad,), -1, np.int32)
@@ -335,10 +343,14 @@ def _ivf_knn_sweep(vectors, vectors_bf, vec_sq, slots, knn_k, metric):
         csq = jnp.sum(centers * centers, axis=1)
         centers = centers * jax.lax.rsqrt(
             jnp.maximum(csq, 1e-30))[:, None]
-    asg = None
     for _ in range(IVF_KMEANS_ITERS):
-        centers, asg, _counts = _kmeans_pass(
+        centers, _asg, _counts = _kmeans_pass(
             vectors, vec_sq, slot_chunks_j, centers, normalize)
+    # one final assignment-only pass so the probe lists are built against
+    # the same centers _ivf_candidates ranks with (the in-loop asg is
+    # computed against the pre-update centers)
+    _, asg, _counts = _kmeans_pass(
+        vectors, vec_sq, slot_chunks_j, centers, normalize)
     asg_np = np.asarray(jax.device_get(asg))[:n]
     centers_np = np.asarray(jax.device_get(centers), np.float32)
     q_chunks, cand = _ivf_candidates(
@@ -429,15 +441,18 @@ def _build_upper_levels(
                    else vectors.astype(jnp.bfloat16))
             lids, lsc = _ivf_knn_sweep(
                 vectors, vbf, vec_sq, nodes_l, k_l, metric)
+            # ceil division: qb need not divide cap_s (chunk bodies mask
+            # pos >= n_l, so a ragged last chunk is harmless; floor would
+            # silently drop the tail rows' neighbor lists)
             un, highways = _upper_level_from_knn(
                 vectors, vec_sq, nodes_j, jnp.int32(n_l), jnp.int32(lv),
                 upper_slot_j, lids, lsc, un, highways, m, metric, qb,
-                cap_s // qb, lv == 1)
+                -(-cap_s // qb), lv == 1)
         else:
             un, highways = _upper_level_build(
                 vectors, vec_sq, nodes_j, jnp.int32(n_l), jnp.int32(lv),
                 upper_slot_j, un, highways, k_l, m, metric, block_n, qb,
-                cap_s // qb, lv == 1)
+                -(-cap_s // qb), lv == 1)
         _mark(f"lv{lv}(n_l={n_l},cap_s={cap_s})")
     return (un, upper_slot_j, jnp.asarray(upper_node_np),
             jnp.int32(n_up), jnp.int32(entry), jnp.int32(max_level),
@@ -456,6 +471,7 @@ def bulk_build(
     rev_r: int = REV_R,
     prune_chunk: int = 8192,
     host_vectors: np.ndarray | None = None,  # original rows, for repair
+    stats_out: dict | None = None,  # receives {"n_distances": int}
 ) -> GraphState:
     """Build a fresh GraphState over ``slots`` (an empty-graph bulk load).
 
@@ -571,7 +587,54 @@ def bulk_build(
             np.asarray(slots))
 
     _mark("phase2.5_repair")
+    if stats_out is not None:
+        stats_out["n_distances"] = _distance_cost(
+            n, cap, lv_clamped, int(jax.device_get(max_lv)), use_ivf,
+            query_block, knn_k, rev_r, config.m0)
     return state._replace(neighbors0=neighbors0)
+
+
+def _ivf_distance_cost(n: int) -> int:
+    """Distances the IVF-pruned sweep actually computes for n rows:
+    k-means assignment passes (IVF_KMEANS_ITERS + 1 final assign) plus
+    the per-chunk candidate scoring. Mirrors _ivf_knn_sweep's shapes."""
+    target = max(1, n // IVF_AVG_CLUSTER)
+    c = int(np.clip(1 << int(round(np.log2(target))), 64, 2048))
+    n_pad = -(-n // IVF_ASSIGN_CHUNK) * IVF_ASSIGN_CHUNK
+    kmeans = (IVF_KMEANS_ITERS + 1) * n_pad * c
+    sweep = -(-n // IVF_QB) * IVF_QB * IVF_CAND_MAX
+    return kmeans + sweep
+
+
+def _distance_cost(n, cap, lv_clamped, max_level, use_ivf, query_block,
+                   knn_k, rev_r, m0) -> int:
+    """Analytic count of distance evaluations for one bulk_build, from
+    the same branch conditions and padded shapes the phases used. The
+    reference surfaces usearch's computed_distances counter
+    (index.hpp:1893-1913); round-1 claimed the full exact-sweep cost
+    even on the ~30x-cheaper IVF path — this replaces that estimate."""
+    nd = 0
+    # phase 0: upper levels
+    for lv in range(1, min(max_level, L_MAX) + 1):
+        n_l = int((lv_clamped >= lv).sum())
+        if n_l < 2:
+            continue
+        cap_s = max(256, 1 << (n_l - 1).bit_length())
+        qb_l = min(query_block, cap_s)
+        if n_l >= IVF_LEVEL_MIN_N:
+            nd += _ivf_distance_cost(n_l)
+        else:
+            nd += -(-cap_s // qb_l) * qb_l * cap_s
+    # phase 1: base kNN sweep
+    if use_ivf:
+        nd += _ivf_distance_cost(n)
+    else:
+        nd += -(-n // query_block) * query_block * cap
+    # phase 2: extra-candidate scoring + pairwise diversity prune
+    n_cand = knn_k + rev_r + m0 + RAND_S
+    nd += n * (n_cand - knn_k)  # gather_scores on the extras
+    nd += n * n_cand * n_cand  # select_diverse pairwise matrix
+    return nd
 
 
 @functools.partial(jax.jit, static_argnames=("m0", "metric"))

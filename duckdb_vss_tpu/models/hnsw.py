@@ -315,12 +315,16 @@ class HNSWIndex:
             if on_progress is not None:
                 on_progress(0.0)
             _mark("pre_bulk")
+            bstats: dict = {}
             self.graph = bulk_build(
                 self.store._vectors, self.store._vec_sq,
                 np.asarray(slots, np.int32), levels, self.config,
-                self.metric, host_vectors=vectors)
+                self.metric, host_vectors=vectors, stats_out=bstats)
             _mark("bulk_build")
-            self.build_distance_count += n * self.store.capacity  # exact sweep
+            # actual work done (IVF-pruned sweeps do ~1/30 of the exact
+            # n*capacity cost the round-1 estimate claimed)
+            self.build_distance_count += bstats.get(
+                "n_distances", n * self.store.capacity)
             self.is_dirty = True
             if on_progress is not None:
                 on_progress(1.0)

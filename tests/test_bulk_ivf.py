@@ -88,3 +88,88 @@ def test_forced_ivf_build_recall_matches_exact(metric):
             os.environ.pop("DVT_BUILD_KNN", None)
     assert recalls["ivf"] > 0.9, recalls
     assert recalls["ivf"] > recalls["exact"] - 0.05, recalls
+
+
+def test_forced_ivf_ip_variable_norms():
+    """IP + IVF on variable-norm data: the spherical-k-means routing must
+    not starve high-norm rows (which dominate inner-product top-k) of
+    candidate coverage. Guards the normalize-for-IP clustering choice."""
+    rng = np.random.default_rng(7)
+    n, d, k = 12000, 32, 10
+    base, centers = _clustered(rng, n, d)
+    scales = np.exp(rng.normal(0.0, 0.8, n)).astype(np.float32)
+    vecs = base * scales[:, None]
+    q = (centers[rng.integers(0, len(centers), 300)]
+         + 0.25 * rng.normal(size=(300, d)).astype(np.float32))
+    gt = np.argsort(-(q @ vecs.T), 1)[:, :k]
+
+    recalls = {}
+    for mode in ("exact", "ivf"):
+        os.environ["DVT_BUILD_KNN"] = mode
+        try:
+            idx = HNSWIndex(d, HNSWConfig(metric=MetricKind.IP),
+                            capacity=n)
+            idx.add(vecs, np.arange(n))
+            _, got = idx.search(q, k, ef=64)
+            hits = sum(len(set(g) & set(w))
+                       for g, w in zip(got.tolist(), gt.tolist()))
+            recalls[mode] = hits / gt.size
+        finally:
+            os.environ.pop("DVT_BUILD_KNN", None)
+    assert recalls["ivf"] > 0.85, recalls
+    assert recalls["ivf"] > recalls["exact"] - 0.05, recalls
+
+
+def test_upper_level_from_knn_path(monkeypatch):
+    """Exercise _upper_level_from_knn (the large-level IVF reuse path):
+    lower the threshold so level 1 of a 12k build routes through it and
+    assert search quality survives."""
+    from duckdb_vss_tpu.models import bulk
+
+    monkeypatch.setattr(bulk, "IVF_LEVEL_MIN_N", 128)
+    monkeypatch.setenv("DVT_BUILD_KNN", "ivf")
+    rng = np.random.default_rng(5)
+    n, d, k = 12000, 32, 10
+    vecs, centers = _clustered(rng, n, d)
+    q = (centers[rng.integers(0, len(centers), 200)]
+         + 0.25 * rng.normal(size=(200, d)).astype(np.float32))
+    v2 = (vecs * vecs).sum(1)
+    gt = np.argsort(v2[None, :] - 2.0 * (q @ vecs.T), 1)[:, :k]
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n)
+    idx.add(vecs, np.arange(n))
+    # level 1 holds ~n/m nodes (>=128), so it took the from-knn path
+    lv = np.asarray(idx.graph.levels)
+    assert (lv >= 1).sum() >= 128
+    _, got = idx.search(q, k, ef=48)
+    hits = sum(len(set(g) & set(w))
+               for g, w in zip(got.tolist(), gt.tolist()))
+    assert hits / gt.size > 0.9, hits / gt.size
+
+
+def test_bulk_distance_count_branches():
+    """build_distance_count must reflect the path taken, not the round-1
+    flat n*capacity claim: (a) an exact build's count is dominated by the
+    full sweep; (b) at the scale where IVF auto-enables (>= IVF_MIN_N),
+    the analytic IVF cost is a small fraction of the exact sweep (the
+    pruning is the whole point); (c) the branch wiring reaches stats."""
+    from duckdb_vss_tpu.models import bulk
+
+    rng = np.random.default_rng(9)
+    n, d = 8000, 16
+    vecs, _ = _clustered(rng, n, d)
+    os.environ["DVT_BUILD_KNN"] = "exact"
+    try:
+        idx = HNSWIndex(d, HNSWConfig(), capacity=n)
+        idx.add(vecs, np.arange(n))
+    finally:
+        os.environ.pop("DVT_BUILD_KNN", None)
+    assert idx.build_distance_count >= n * n  # full sweep dominates
+    # within 2x of the sweep term (upper levels + prune are small adders)
+    assert idx.build_distance_count < 2.5 * n * idx.store.capacity
+
+    # at auto-enable scale the IVF estimate must be well below exact
+    # (~0.4x at the 131k threshold, ~0.05x at 1M, ~0.006x at 10M)
+    assert bulk._ivf_distance_cost(bulk.IVF_MIN_N) < (
+        0.5 * bulk.IVF_MIN_N**2)
+    for big in (1_000_000, 10_000_000):
+        assert bulk._ivf_distance_cost(big) < 0.1 * big * big
