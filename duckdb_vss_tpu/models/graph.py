@@ -715,14 +715,11 @@ def search_graph(
             descent_steps=descent_steps,
         )
     ef_eff = max(ef, k)
-    # the fused kernel's merge loop unrolls ef iterations per step, so
-    # kernel size and Mosaic compile time grow with ef (ef=64 measured a
-    # ~7 min compile); the XLA beam's lax.top_k merge handles wide
-    # beams better — route only the small/medium-ef operating points
-    # (where the kernel wins: 0.982@ef16, 0.996@ef32 on 1M x 128)
-    # through the kernel
+    # the fused kernel's merge is a bitonic network (log-depth in
+    # ef + expand*M0), so wide beams compile and run on-chip; very wide
+    # ef still falls back to the XLA beam's lax.top_k merge
     if (pallas_beam and nbr_vecs is not None and nbr_meta is not None
-            and ef_eff <= 32 and expand <= 8):
+            and ef_eff <= 128 and expand <= 8):
         from duckdb_vss_tpu.ops.pallas_beam import beam_search_pallas
 
         # seed beam: score + dedup + sort the descent seeds

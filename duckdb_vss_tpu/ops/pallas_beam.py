@@ -66,6 +66,69 @@ def pack_meta(neighbors0, nbr_scale, nbr_sq) -> jax.Array:
     return row
 
 
+def _rolls(x, s):
+    """(roll(x, -s), roll(x, +s)) along the lane dim via static slices
+    (Mosaic-friendly: two slices + one concat each)."""
+    return (jnp.concatenate([x[:, s:], x[:, :s]], axis=1),
+            jnp.concatenate([x[:, -s:], x[:, :-s]], axis=1))
+
+
+def _compare_exchange(score, payloads, s, asc):
+    """One bitonic compare-exchange at stride s: lane i pairs with
+    lane i^s; ascending blocks keep (min, max), descending (max, min).
+    ``asc`` is a [1, P] bool mask of per-lane block direction, or None
+    for all-ascending. Ties keep both lanes' own elements (consistent,
+    no duplication). Bool tensors are combined with bitwise ops only —
+    Mosaic rejects select-on-bool-operands (i8->i1 trunci)."""
+    p = score.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    low = (lane & s) == 0  # this lane is the block-low element
+    sl, sr = _rolls(score, s)
+    other_s = jnp.where(low, sl, sr)
+    take_asc = (low & (other_s < score)) | (~low & (other_s > score))
+    if asc is None:
+        take = take_asc
+    else:
+        take_desc = (low & (other_s > score)) | (~low & (other_s < score))
+        take = (asc & take_asc) | (~asc & take_desc)
+    new_score = jnp.where(take, other_s, score)
+    new_payloads = []
+    for pay in payloads:
+        pl_, pr_ = _rolls(pay, s)
+        new_payloads.append(
+            jnp.where(take, jnp.where(low, pl_, pr_), pay))
+    return new_score, new_payloads
+
+
+def _bitonic_sort(score, payloads, ascending=True):
+    """Full bitonic sort over the lane dim (P a power of two).
+    log2(P)*(log2(P)+1)/2 compare-exchange stages — depth grows with
+    log^2(P), not P, so wide pools compile where an iterative argmin
+    unroll explodes."""
+    p = score.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    k = 2
+    while k <= p:
+        asc_k = (lane & k) == 0 if ascending else (lane & k) != 0
+        s = k // 2
+        while s >= 1:
+            score, payloads = _compare_exchange(score, payloads, s, asc_k)
+            s //= 2
+        k *= 2
+    return score, payloads
+
+
+def _bitonic_merge_asc(score, payloads):
+    """Bitonic merge of a bitonic sequence (ascending run then
+    descending run) into fully ascending order: log2(P) stages."""
+    p = score.shape[1]
+    s = p // 2
+    while s >= 1:
+        score, payloads = _compare_exchange(score, payloads, s, None)
+        s //= 2
+    return score, payloads
+
+
 def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
             meta_hbm, vecs_hbm,
             out_s_ref, out_i_ref, out_nd_ref,
@@ -182,8 +245,10 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
 
         # -- 5. mask, dedup, merge ----------------------------------------
         e_of_c = lax.broadcasted_iota(jnp.int32, (TB, c), 1) // m0
-        sel_valid = jnp.zeros((TB, c), jnp.bool_)
-        for e in range(expand):
+        # no bool-typed zeros constant: Mosaic rejects the i8->i1 trunci
+        # a materialized bool literal lowers to
+        sel_valid = (e_of_c == 0) & oks[0][:, None]
+        for e in range(1, expand):
             sel_valid = sel_valid | ((e_of_c == e) & oks[e][:, None])
         valid = (nbr >= 0) & sel_valid
         if _ABLATE == "nodedup":
@@ -201,31 +266,39 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
 
         if _ABLATE == "nomerge":
             return beam_s, jnp.maximum(beam_i, nbr[:, :ef]), beam_e
-        # iterative top-ef over the concatenated pool
-        pool_s = jnp.concatenate([beam_s, s_new], axis=1)  # [TB, ef+C]
-        pool_i = jnp.concatenate([beam_i, jnp.where(keep, nbr, -1)], axis=1)
+        # -- merge: bitonic network (log-depth, so ef=64+ compiles where
+        # the round-1 iterative argmin unrolled ef passes and blew up
+        # Mosaic compile time). Invariant: beam_s is ascending (seeds
+        # arrive sorted; the merge emits sorted). Sort the candidates
+        # DESCENDING, append after the ascending beam (+ INF mid-pad to a
+        # power of two) -> bitonic sequence -> one merge pass -> first ef
+        # lanes are the new beam.
+        c_pow = 1 << (c - 1).bit_length()
+        cand_i = jnp.where(keep, nbr, -1)
+        if c_pow != c:
+            s_new = jnp.concatenate(
+                [s_new, jnp.full((TB, c_pow - c), INF_SCORE, jnp.float32)],
+                axis=1)
+            cand_i = jnp.concatenate(
+                [cand_i, jnp.full((TB, c_pow - c), -1, jnp.int32)], axis=1)
+        cs, (ci,) = _bitonic_sort(s_new, [cand_i], ascending=False)
+        p_tot = 1 << (ef + c_pow - 1).bit_length()
+        mid = p_tot - ef - c_pow
+        pool_s = jnp.concatenate(
+            [beam_s]
+            + ([jnp.full((TB, mid), INF_SCORE, jnp.float32)] if mid else [])
+            + [cs], axis=1)
+        pool_i = jnp.concatenate(
+            [beam_i]
+            + ([jnp.full((TB, mid), -1, jnp.int32)] if mid else [])
+            + [ci], axis=1)
         pool_e = jnp.concatenate(
-            [beam_e, jnp.zeros((TB, c), jnp.int32)], axis=1)
-        pool_pos = lax.broadcasted_iota(jnp.int32, (TB, ef + c), 1)
-        r_col = lax.broadcasted_iota(jnp.int32, (TB, ef), 1)
-        new_s = jnp.zeros((TB, ef), jnp.float32)
-        new_i = jnp.full((TB, ef), -1, jnp.int32)
-        new_e = jnp.zeros((TB, ef), jnp.int32)
-        for r in range(ef):
-            pos = jnp.argmin(pool_s, axis=1)  # [TB]
-            hit = pool_pos == pos[:, None]
-            is_r = r_col == r
-            new_s = jnp.where(is_r, jnp.min(pool_s, axis=1)[:, None], new_s)
-            new_i = jnp.where(
-                is_r, jnp.sum(jnp.where(hit, pool_i, 0), axis=1)[:, None],
-                new_i)
-            new_e = jnp.where(
-                is_r,
-                jnp.sum(jnp.where(hit, pool_e, 0), axis=1)[:, None],
-                new_e)
-            pool_s = jnp.where(hit, INF_SCORE, pool_s)
-        new_i = jnp.where(new_s >= INF_SCORE, -1, new_i)
-        return new_s, new_i, new_e
+            [beam_e, jnp.zeros((TB, p_tot - ef), jnp.int32)], axis=1)
+        pool_s, (pool_i, pool_e) = _bitonic_merge_asc(
+            pool_s, [pool_i, pool_e])
+        new_s = pool_s[:, :ef]
+        new_i = jnp.where(new_s >= INF_SCORE, -1, pool_i[:, :ef])
+        return new_s, new_i, pool_e[:, :ef]
 
     beam_s, beam_i, beam_e = lax.fori_loop(
         0, max_steps, step, (beam_s, beam_i, beam_e))

@@ -48,16 +48,28 @@ def flat_topk_dense(
     valid: jax.Array | None = None,
     precision=None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Single-matmul top-k for small N: [B, D] x [N, D] -> ([B, k], [B, k])."""
+    """Single-matmul top-k for small N: [B, D] x [N, D] -> ([B, k], [B, k]).
+
+    k may exceed N (e.g. a generic TopN with LIMIT > row count): results
+    are padded with (INF_SCORE, -1) past N."""
     precision = precision or jax.lax.Precision.HIGHEST
+    n = vectors.shape[0]
     q_f32 = queries.astype(jnp.float32)
     s = score_matrix(q_f32.astype(vectors.dtype), vectors, metric,
                      vec_sq=vec_sq, query_sq=sq_norms(q_f32),
                      precision=precision)
     if valid is not None:
         s = jnp.where(valid[None, :], s, INF_SCORE)
-    neg_top, ids = lax.top_k(-s, k)
-    return -neg_top, ids
+    kk = min(k, n)
+    neg_top, ids = lax.top_k(-s, kk)
+    scores = -neg_top
+    if kk < k:
+        b = scores.shape[0]
+        scores = jnp.concatenate(
+            [scores, jnp.full((b, k - kk), INF_SCORE, scores.dtype)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((b, k - kk), -1, ids.dtype)], axis=1)
+    return scores, ids
 
 
 def flat_topk(
@@ -138,5 +150,13 @@ def flat_topk(
     )  # [nb, b, kc]
     all_s = jnp.moveaxis(all_s, 0, 1).reshape(b, nb * kc)
     all_i = jnp.moveaxis(all_i, 0, 1).reshape(b, nb * kc)
-    neg_top, pos = lax.top_k(-all_s, k)
-    return -neg_top, jnp.take_along_axis(all_i, pos, axis=1)
+    kk = min(k, nb * kc)
+    neg_top, pos = lax.top_k(-all_s, kk)
+    scores = -neg_top
+    ids = jnp.take_along_axis(all_i, pos, axis=1)
+    if kk < k:  # LIMIT beyond candidate count: pad like flat_topk_dense
+        scores = jnp.concatenate(
+            [scores, jnp.full((b, k - kk), INF_SCORE, scores.dtype)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((b, k - kk), -1, ids.dtype)], axis=1)
+    return scores, ids

@@ -255,7 +255,11 @@ class Database:
             from duckdb_vss_tpu.utils.wal import WriteAheadLog
 
             _os.makedirs(path, exist_ok=True)
-            self.wal = WriteAheadLog(_os.path.join(path, "vss.wal"))
+            # fsync on by default: a WAL that can vanish in the page
+            # cache protects nothing (opt out via DVT_WAL_FSYNC=0)
+            self.wal = WriteAheadLog(
+                _os.path.join(path, "vss.wal"),
+                fsync=_os.environ.get("DVT_WAL_FSYNC", "1") == "1")
 
     def _log(self, record: dict) -> None:
         if self.wal is not None and not self._wal_replaying:
@@ -446,6 +450,7 @@ class QueryBuilder:
         self._order: E.Expr | None = None
         self._order_desc = False
         self._limit: int | None = None
+        self._no_index = False  # force the generic path (E9 huge-k bail)
 
     def select(self, *exprs) -> "QueryBuilder":
         for e in exprs:
@@ -486,7 +491,8 @@ class QueryBuilder:
             m = E.match_distance_call(order)
             if m is not None:
                 fname, metric, colref, qvec = m
-                entry = _find_index(self.tbl, colref.name, metric)
+                entry = (None if self._no_index
+                         else _find_index(self.tbl, colref.name, metric))
                 if entry is not None:
                     scan = P.PhysicalHNSWIndexScan(
                         table=self.tbl, index=entry, limit=self._limit)
@@ -537,17 +543,17 @@ class QueryBuilder:
     def min_by(self, value: E.Expr | str, dist: E.Expr, k: int):
         """SELECT min_by(value, dist, k) — the E9 rewrite: with a matching
         index becomes list(value ORDER BY dist) over an index scan
-        (hnsw_optimize_topk.cpp:51-56). k guard mirrors :162-164."""
-        if k >= 2048:
-            # reference bails out to the generic path for huge k
-            pass
+        (hnsw_optimize_topk.cpp:51-56). For k >= 2048 the reference skips
+        the rewrite but still answers via the generic plan (:162-164) —
+        here that is the exact brute-force/TopN path, never the index."""
         value = E.col(value) if isinstance(value, str) else value
-        res = (QueryBuilder(self.tbl)
-               .select(value.alias("__v__") if not isinstance(value, E.Aliased)
-                       else value)
-               .order_by(dist)
-               .limit(k)
-               .execute())
+        qb = (QueryBuilder(self.tbl)
+              .select(value.alias("__v__") if not isinstance(value, E.Aliased)
+                      else value)
+              .order_by(dist)
+              .limit(k))
+        qb._no_index = k >= 2048
+        res = qb.execute()
         key = next(iter(res.keys()))
         return list(res[key])
 

@@ -421,8 +421,9 @@ def _eval_aggregate(db: Database, table: Table, e, batch):
                 raise BinderError(f"{e.name}(value, key, k)")
             val_e, key_e, k_e = e.args
             k = int(P._const_value(k_e))
-            if k >= 2048:
-                raise BinderError("min_by k must be < 2048")  # E9 guard
+            # k >= 2048: QueryBuilder.min_by answers via the generic
+            # (non-index) path, matching hnsw_optimize_topk.cpp:162-164
+            # which skips the rewrite but still executes the aggregate
             qb = QueryBuilder(table)
             return qb.min_by(val_e, key_e if e.name == "min_by"
                              else E.UnaryOp("-", key_e), k)

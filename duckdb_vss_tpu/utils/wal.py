@@ -16,22 +16,102 @@ checkpoints (the failure mode hnsw_insert_wal.test:3-21 documents as
 broken upstream).
 
 Frame format (little-endian): [u32 magic 'DVTW' | u32 payload_len |
-u32 crc32(payload)] + payload (pickled dict of plain values / numpy
-arrays). Replay stops at the first short or corrupt frame — a torn tail
-from a crash mid-append loses only the interrupted record, matching
-standard WAL semantics.
+u32 crc32(payload)] + payload. The payload is self-describing and
+pickle-free — a durability artifact must not be a code-execution surface
+on replay, and must stay readable across Python versions:
+[u32 json_len | json meta (UTF-8) | raw array sections...]. The meta is
+the record with every numpy array replaced by
+{"__nd__": section_idx, "dtype": "<f4", "shape": [...]}; sections are
+C-order little-endian raw bytes appended in index order. Replay stops at
+the first short or corrupt frame — a torn tail from a crash mid-append
+loses only the interrupted record, matching standard WAL semantics.
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
+
 MAGIC = 0x44565457  # 'DVTW'
 _HDR = struct.Struct("<III")  # magic, payload_len, crc32(payload)
+_U32 = struct.Struct("<I")
+
+
+def _encode(record: dict) -> bytes:
+    sections: list[bytes] = []
+
+    def enc(v):
+        if isinstance(v, np.ndarray):
+            a = np.ascontiguousarray(v)
+            # normalize to little-endian on-disk byte order
+            if a.dtype.byteorder == ">":
+                a = a.astype(a.dtype.newbyteorder("<"))
+            sections.append(a.tobytes())
+            return {"__nd__": len(sections) - 1,
+                    "dtype": a.dtype.str, "shape": list(a.shape)}
+        if isinstance(v, np.generic):
+            return enc(np.asarray(v)) if v.ndim else v.item()
+        if isinstance(v, dict):
+            return {str(k): enc(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [enc(x) for x in v]
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        raise TypeError(f"WAL cannot encode {type(v)!r}")
+
+    meta = json.dumps(enc(record), separators=(",", ":")).encode()
+    return b"".join([_U32.pack(len(meta)), meta] + sections)
+
+
+def _decode(payload: bytes) -> dict:
+    (meta_len,) = _U32.unpack_from(payload, 0)
+    meta = json.loads(payload[4:4 + meta_len].decode())
+    # section offsets are implied by traversal order of __nd__ indices
+    off = [4 + meta_len]
+
+    def size_of(node):
+        return int(np.prod(node["shape"], dtype=np.int64)) * \
+            np.dtype(node["dtype"]).itemsize
+
+    # first pass: collect section sizes in index order
+    sizes: dict[int, int] = {}
+
+    def walk(v):
+        if isinstance(v, dict):
+            if "__nd__" in v and isinstance(v.get("__nd__"), int):
+                sizes[v["__nd__"]] = size_of(v)
+            else:
+                for x in v.values():
+                    walk(x)
+        elif isinstance(v, list):
+            for x in v:
+                walk(x)
+
+    walk(meta)
+    starts = {}
+    pos = off[0]
+    for i in sorted(sizes):
+        starts[i] = pos
+        pos += sizes[i]
+
+    def dec(v):
+        if isinstance(v, dict):
+            if "__nd__" in v and isinstance(v.get("__nd__"), int):
+                i = v["__nd__"]
+                raw = payload[starts[i]:starts[i] + sizes[i]]
+                return np.frombuffer(raw, dtype=np.dtype(v["dtype"])) \
+                    .reshape(v["shape"]).copy()
+            return {k: dec(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        return v
+
+    return dec(meta)
 
 
 class WriteAheadLog:
@@ -48,7 +128,7 @@ class WriteAheadLog:
         return self._f
 
     def append(self, record: dict) -> None:
-        payload = pickle.dumps(record, protocol=5)
+        payload = _encode(record)
         f = self._file()
         f.write(_HDR.pack(MAGIC, len(payload), zlib.crc32(payload)))
         f.write(payload)
@@ -72,7 +152,7 @@ class WriteAheadLog:
                 payload = f.read(ln)
                 if len(payload) < ln or zlib.crc32(payload) != crc:
                     return
-                yield pickle.loads(payload)
+                yield _decode(payload)
 
     def truncate(self) -> None:
         """Drop all records (called after a successful checkpoint)."""

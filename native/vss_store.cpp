@@ -159,11 +159,30 @@ int vss_writer_close(vss_writer* w) {
 // ---------------------------------------------------------------------------
 
 typedef struct {
-  int fd;
+  int fd;            // -1 when reading caller-owned memory
   uint8_t* map;
   size_t map_len;
+  int owns_map;      // 1: munmap on close; 0: caller owns the buffer
   vss_file_header hdr;
 } vss_reader;
+
+// Reader over a caller-owned in-memory image of the container (e.g. a
+// blob fetched from block storage) — no temp-file round trip. The buffer
+// must outlive the reader handle.
+vss_reader* vss_reader_open_mem(const void* buf, uint64_t len) {
+  if (!buf || len < sizeof(vss_file_header)) return nullptr;
+  vss_reader* r = (vss_reader*)calloc(1, sizeof(vss_reader));
+  r->fd = -1;
+  r->map = (uint8_t*)buf;
+  r->map_len = (size_t)len;
+  r->owns_map = 0;
+  memcpy(&r->hdr, buf, sizeof(r->hdr));
+  if (r->hdr.magic != VSS_MAGIC || r->hdr.version != VSS_VERSION) {
+    free(r);
+    return nullptr;
+  }
+  return r;
+}
 
 vss_reader* vss_reader_open(const char* path) {
   int fd = open(path, O_RDONLY);
@@ -183,6 +202,7 @@ vss_reader* vss_reader_open(const char* path) {
   r->fd = fd;
   r->map = map;
   r->map_len = st.st_size;
+  r->owns_map = 1;
   memcpy(&r->hdr, map, sizeof(r->hdr));
   if (r->hdr.magic != VSS_MAGIC || r->hdr.version != VSS_VERSION) {
     munmap(map, st.st_size);
@@ -235,8 +255,8 @@ int64_t vss_reader_section(vss_reader* r, const char* name, void* out,
 
 void vss_reader_close(vss_reader* r) {
   if (!r) return;
-  munmap(r->map, r->map_len);
-  close(r->fd);
+  if (r->owns_map) munmap(r->map, r->map_len);
+  if (r->fd >= 0) close(r->fd);
   free(r);
 }
 

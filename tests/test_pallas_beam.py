@@ -83,10 +83,16 @@ def _replica(queries, q_sq, seed_s, seed_i, nbr, v_scale, v_sq, vecs_i8,
     return beam_s, beam_i
 
 
-@pytest.mark.parametrize("metric", [MetricKind.L2SQ, MetricKind.IP])
-def test_pallas_beam_matches_replica(metric):
+@pytest.mark.parametrize("metric,ef", [
+    (MetricKind.L2SQ, 16),
+    (MetricKind.IP, 16),
+    # wide beam: the bitonic merge must track the argmin oracle at ef=64
+    # (the round-1 kernel could not compile this width at all)
+    (MetricKind.L2SQ, 64),
+])
+def test_pallas_beam_matches_replica(metric, ef):
     rng = np.random.default_rng(3)
-    n, d, m0, ef, expand, steps = 2048, 128, 32, 16, 4, 6
+    n, d, m0, expand, steps = 2048, 128, 32, 4, 6
     b = TB
 
     vecs = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))

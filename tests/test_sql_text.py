@@ -79,6 +79,24 @@ def test_min_by_rewrite(db):
     assert next(iter(res.values()))[0]
 
 
+def test_min_by_huge_k_generic_fallback(db):
+    """k >= 2048: the reference skips the rewrite but still answers the
+    aggregate via the generic plan (hnsw_optimize_topk.cpp:162-164);
+    round 1 raised BinderError here. k=3000 > row_count=729, so the
+    result must be ALL rows, exactly ordered by distance — which the
+    approximate index scan could not guarantee."""
+    db.execute("CREATE INDEX my_idx ON t1 USING HNSW (vec);")
+    res = db.execute("SELECT min_by(vec, array_distance(vec, "
+                     "[1,2,3]::FLOAT[3]), 3000) as x FROM t1;")
+    rows = next(iter(res.values()))[0]
+    assert len(rows) == 729
+    # exact generic-path ordering: distances ascending
+    q = np.array([1.0, 2.0, 3.0], np.float32)
+    d = [float(((np.asarray(r, np.float32) - q) ** 2).sum()) for r in rows]
+    assert d == sorted(d)
+    assert np.allclose(rows[0], [1, 2, 3])
+
+
 def test_options_validation():
     """hnsw_options.test binder errors."""
     db = Database()

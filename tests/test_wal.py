@@ -102,3 +102,38 @@ def test_wal_ddl_replay(tmp_path):
     assert "extra" not in db2.tables
     assert "idx" not in db2.indexes
     assert db2.table("items").row_count == 80
+
+
+def test_wal_format_is_pickle_free(tmp_path):
+    """The WAL payload must be the self-describing JSON+raw-sections
+    format: safe to replay (no code execution surface) and portable
+    across Python versions. Round-trips nested numpy arrays exactly."""
+    p = str(tmp_path / "x.wal")
+    wal = WriteAheadLog(p)
+    rec = {
+        "op": "insert", "table": "t",
+        "rows": {"id": np.arange(5, dtype=np.int64),
+                 "vec": [np.ones((3,), np.float32),
+                         np.array([1.5, -2.0, 3.25], np.float32)]},
+        "meta": {"k": 7, "name": "x", "flag": True, "none": None,
+                 "f": 1.25, "list": [1, "two", 3.0]},
+    }
+    wal.append(rec)
+    wal.close()
+    raw = open(p, "rb").read()
+    assert b"pickle" not in raw
+    # frame: magic + len + crc, then [u32 json_len | json | sections]
+    magic, ln, crc = struct.unpack_from("<III", raw, 0)
+    payload = raw[12:12 + ln]
+    (jlen,) = struct.unpack_from("<I", payload, 0)
+    import json
+    meta = json.loads(payload[4:4 + jlen].decode())  # plain JSON
+    assert meta["op"] == "insert"
+
+    got = list(WriteAheadLog(p).replay())
+    assert len(got) == 1
+    g = got[0]
+    np.testing.assert_array_equal(g["rows"]["id"], rec["rows"]["id"])
+    np.testing.assert_array_equal(g["rows"]["vec"][1], rec["rows"]["vec"][1])
+    assert g["meta"] == {"k": 7, "name": "x", "flag": True, "none": None,
+                         "f": 1.25, "list": [1, "two", 3.0]}
