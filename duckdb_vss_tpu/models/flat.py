@@ -48,14 +48,24 @@ class FlatIndex:
     """Mutable flat index over row-keyed float vectors."""
 
     def __init__(self, dims: int, metric: MetricKind = MetricKind.L2SQ,
-                 capacity: int = MIN_CAPACITY):
+                 capacity: int = MIN_CAPACITY, defer_alloc: bool = False):
         self.dims = int(dims)
         self.d_pad = pad_dim(self.dims)
         self.metric = metric
         self.capacity = max(MIN_CAPACITY, 1 << (int(capacity) - 1).bit_length())
-        self._vectors = jnp.zeros((self.capacity, self.d_pad), jnp.float32)
-        self._vec_sq = jnp.zeros((self.capacity,), jnp.float32)
-        self._valid = jnp.zeros((self.capacity,), jnp.bool_)
+        if defer_alloc:
+            # deferred load (persist.load_index lazy path): device arrays
+            # are filled by the loader on first access — no device memory
+            # is touched until then (reference defers index load until
+            # first table access, hnsw_index.cpp:192-206)
+            self._vectors = None
+            self._vec_sq = None
+            self._valid = None
+        else:
+            self._vectors = jnp.zeros((self.capacity, self.d_pad),
+                                      jnp.float32)
+            self._vec_sq = jnp.zeros((self.capacity,), jnp.float32)
+            self._valid = jnp.zeros((self.capacity,), jnp.bool_)
         # slot -> key map lives host-side: rowids are 64-bit and the mapping
         # is outside the hot compute path (device returns slots, host maps).
         self._keys = np.full((self.capacity,), -1, np.int64)
@@ -165,7 +175,18 @@ class FlatIndex:
 
     # -- search -----------------------------------------------------------
 
-    def prepare_queries(self, queries: np.ndarray) -> jax.Array:
+    def prepare_queries(self, queries: np.ndarray,
+                        transfer_dtype: str = "f32") -> jax.Array:
+        """Pad + upload a query batch.
+
+        transfer_dtype="bf16" ships the batch over the host->device link
+        as bfloat16 and upcasts on device — half the H2D bytes. Measured
+        over the shared TPU tunnel the H2D transfer costs several times
+        the whole search program (benchmarks/attribute_search.py), so
+        serving paths that tolerate query rounding (ANN search does; the
+        rerank's DISTANCES shift by ~2^-9 relative but the top-k SET is
+        stable) should opt in. Exact-parity paths (SQL flat scans) keep
+        f32."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -174,7 +195,13 @@ class FlatIndex:
         # bucket the batch to a power of two (min 8): every distinct shape
         # costs a multi-minute remote compile on the TPU backend
         b_pad = max(8, 1 << (max(b, 1) - 1).bit_length())
-        return jnp.asarray(pad_2d_np(queries, b_pad, self.d_pad))
+        padded = pad_2d_np(queries, b_pad, self.d_pad)
+        if transfer_dtype == "bf16":
+            import ml_dtypes
+
+            return jnp.asarray(padded.astype(ml_dtypes.bfloat16)
+                               ).astype(jnp.float32)
+        return jnp.asarray(padded)
 
     def search_device(self, queries_padded: jax.Array, k: int,
                       block_n: int = DEFAULT_BLOCK_N

@@ -103,9 +103,11 @@ class HNSWIndex:
         build_expand: int = 2,
         build_prune: str = "diversity",
         traversal_dtype: str | None = None,
+        _defer_alloc: bool = False,  # persist.load_index lazy path
     ):
         self.config = config or HNSWConfig()
-        self.store = FlatIndex(dims, self.config.metric, capacity)
+        self.store = FlatIndex(dims, self.config.metric, capacity,
+                               defer_alloc=_defer_alloc)
         # reduced-precision traversal copy of the vector store (usearch's
         # scalar-cast layer, index_dense.hpp:363-375, recast TPU-side:
         # beam scoring gathers bf16 rows — half the HBM bytes — while the
@@ -124,7 +126,7 @@ class HNSWIndex:
         # descent strategy: "mxu" (exact matmul over upper-level nodes)
         # or "beam" (level-1 beam walk)
         self.descent = _os0.environ.get("DVT_DESCENT", "mxu")
-        self.graph = make_graph(
+        self.graph = None if _defer_alloc else make_graph(
             self.store.capacity, self.config.m, self.config.m0)
         self.build_batch = int(build_batch)
         self.build_expand = int(build_expand)
@@ -150,6 +152,10 @@ class HNSWIndex:
         # (ops/pallas_beam.py); applies only when the layout is active
         self.use_pallas_beam = _os.environ.get("DVT_PALLAS_BEAM",
                                                "1") == "1"
+        # H2D query transfer dtype ("f32" | "bf16"); bf16 halves the
+        # host->device bytes (see FlatIndex.prepare_queries)
+        self.query_transfer_dtype = _os.environ.get("DVT_QUERY_TRANSFER",
+                                                    "f32")
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -157,6 +163,16 @@ class HNSWIndex:
         self.build_distance_count = 0
         self.search_distance_count = 0
         self.is_dirty = False
+        # deferred load: persist.load_index(lazy=True) parks a loader
+        # closure here; the first data-touching call materializes the
+        # device arrays (reference semantics: index deserialization is
+        # deferred to first access, hnsw_index.cpp:192-206)
+        self._pending_load = None
+
+    def _ensure_loaded(self) -> None:
+        if self._pending_load is not None:
+            fn, self._pending_load = self._pending_load, None
+            fn(self)
 
     # ------------------------------------------------------------------
     @property
@@ -277,6 +293,7 @@ class HNSWIndex:
         build fraction in [0, 1] — the reference's task-level progress
         reporting (hnsw_index_physical_create.cpp:308-323 GetSinkProgress,
         build phase)."""
+        self._ensure_loaded()
         import os as _os2
         import time as _time2
         _trace = _os2.environ.get("DVT_BUILD_TRACE", "0") == "1"
@@ -363,6 +380,7 @@ class HNSWIndex:
     def remove(self, keys) -> int:
         """Tombstone delete (hnsw_index.cpp:466-482 -> index_dense
         remove(), edges remain; search filters)."""
+        self._ensure_loaded()
         n = self.store.remove(keys)
         if n:
             self.is_dirty = True
@@ -375,6 +393,7 @@ class HNSWIndex:
         index.hpp:3109-3146; index_dense.hpp:1447-1459). The reference
         runs this as a parallel sweep over all neighbor lists — here it
         is one masked gather + stable repack over the whole adjacency."""
+        self._ensure_loaded()
         nb0, un = _isolate_jit(self.graph.neighbors0,
                                self.graph.upper_neighbors,
                                self.store._valid)
@@ -399,6 +418,7 @@ class HNSWIndex:
         """ANN top-k. ef defaults to config.ef_search and may be overridden
         per call (the hnsw_ef_search session setting,
         hnsw_index.cpp:288-299). Returns (scores, keys [B, k])."""
+        self._ensure_loaded()
         qarr = np.asarray(queries, np.float32)
         if qarr.ndim == 1:
             qarr = qarr[None, :]
@@ -412,7 +432,9 @@ class HNSWIndex:
         # per chunk)
         outs = []
         for off in range(0, b, chunk):
-            q = self.store.prepare_queries(qarr[off : off + chunk])
+            q = self.store.prepare_queries(
+                qarr[off : off + chunk],
+                transfer_dtype=self.query_transfer_dtype)
             uv, uvsq, unode = (self._upper_vectors()
                                if self.descent == "mxu"
                                else (None, None, None))
@@ -449,6 +471,7 @@ class HNSWIndex:
     def search_device(self, queries_padded: jax.Array, k: int,
                       ef: int | None = None, expand: int = 4):
         """Device-resident search: returns (scores, slots, n_dist)."""
+        self._ensure_loaded()
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
         uv, uvsq, unode = (self._upper_vectors()
                            if self.descent == "mxu"
@@ -478,6 +501,7 @@ class HNSWIndex:
         through the inverse permutation, and tombstoned nodes' edges
         dropped (isolate(), index.hpp:3109-3146).
         """
+        self._ensure_loaded()
         valid = np.asarray(self.store._valid)
         levels = np.asarray(self.graph.levels)
         live = np.nonzero(valid)[0]
@@ -562,6 +586,7 @@ class HNSWIndex:
     def stats(self) -> dict:
         """Per-level stats (pragma_hnsw_index_info analog,
         /root/reference/src/hnsw/hnsw_index_pragmas.cpp:22-148)."""
+        self._ensure_loaded()
         levels = np.asarray(self.graph.levels)
         valid = np.asarray(self.store._valid)
         nb0 = np.asarray(self.graph.neighbors0)
@@ -628,10 +653,12 @@ class HNSWIndex:
         return True
 
     def get_vector(self, key: int) -> np.ndarray:
+        self._ensure_loaded()
         return self.store.get_vector(key)
 
     def distance_between(self, key_a: int, key_b: int) -> float:
         """Index-metric distance between two members."""
+        self._ensure_loaded()
         from duckdb_vss_tpu.ops.distance import pair_scores
 
         a = self.store.get_vector(key_a)[None, :]
@@ -655,6 +682,7 @@ class HNSWIndex:
         layers clusters everything to the entry node. Returns
         (keys [B], scores [B]).
         """
+        self._ensure_loaded()
         qarr = np.asarray(queries, np.float32)
         if qarr.ndim == 1:
             qarr = qarr[None, :]
@@ -693,6 +721,7 @@ class HNSWIndex:
         unmatched (absent from the result), matching usearch's bounded-
         effort semantics. Returns {self_key: other_key}.
         """
+        self._ensure_loaded()
         if self.metric != other.metric or self.dims != other.dims:
             raise ValueError("join requires matching metric and dims")
         men_keys = self.export_keys()

@@ -46,6 +46,55 @@ def shard_keys(keys: np.ndarray, n_shards: int) -> np.ndarray:
     return (np.asarray(keys, np.int64) % n_shards).astype(np.int32)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — uniform virtual-shard hashing even for
+    pathological key patterns (sequential, strided, clustered)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class VirtualPlacement:
+    """Over-partitioned key placement: keys hash into V = alpha * S
+    virtual shards; each virtual shard is assigned to a physical shard
+    the first time it is seen, greedily to the least-loaded one.
+
+    This is the BASELINE north-star skew handling ("over-partitioning
+    hot shards"): a hot key range concentrates into a few virtual
+    shards, and the load-aware assignment spreads those across physical
+    shards instead of letting `key mod S` pile them onto one. Placement
+    is deterministic given the insert order and persists with the index.
+    """
+
+    def __init__(self, n_shards: int, alpha: int = 16):
+        self.n_shards = int(n_shards)
+        self.v = int(alpha) * self.n_shards
+        self.assign = np.full((self.v,), -1, np.int32)
+        self.load = np.zeros((self.n_shards,), np.int64)
+
+    def place(self, keys: np.ndarray) -> np.ndarray:
+        """Physical shard per key; assigns unseen virtual shards."""
+        keys = np.asarray(keys, np.int64)
+        vs = (_splitmix64(keys) % np.uint64(self.v)).astype(np.int64)
+        counts = np.bincount(vs, minlength=self.v)
+        new = np.nonzero((self.assign < 0) & (counts > 0))[0]
+        # heaviest new virtual shards first -> best balance
+        for vshard in new[np.argsort(-counts[new], kind="stable")]:
+            tgt = int(np.argmin(self.load))
+            self.assign[vshard] = tgt
+            self.load[tgt] += int(counts[vshard])
+        seen = np.nonzero((self.assign >= 0) & (counts > 0))[0]
+        for vshard in seen:
+            if vshard not in new:
+                self.load[self.assign[vshard]] += int(counts[vshard])
+        return self.assign[vs]
+
+    def unplace_counts(self, phys_counts: np.ndarray) -> None:
+        """Subtract per-physical-shard removal counts from the load."""
+        self.load -= np.asarray(phys_counts, np.int64)
+
+
 # ---------------------------------------------------------------------------
 # sharded flat (brute force) index
 # ---------------------------------------------------------------------------
@@ -80,25 +129,9 @@ class ShardedFlatIndex:
         self._keys = np.full((s, self.cap), -1, np.int64)
         self._counts = np.zeros((s,), np.int64)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def _scatter_flat(self, vectors, vec_sq, valid, batch_v, batch_slots):
-        def shard_fn(vectors, vec_sq, valid, bv, bs):
-            rows = jnp.where(bs[0] >= 0, bs[0], jnp.int32(2**30))
-            v = vectors[0].at[rows].set(bv[0], mode="drop")
-            sq = vec_sq[0].at[rows].set(
-                jnp.sum(bv[0] * bv[0], axis=-1), mode="drop")
-            va = valid[0].at[rows].set(True, mode="drop")
-            return v[None], sq[None], va[None]
-
-        return jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P("shard", None, None), P("shard", None),
-                      P("shard", None), P("shard", None, None),
-                      P("shard", None)),
-            out_specs=(P("shard", None, None), P("shard", None),
-                       P("shard", None)),
-        )(vectors, vec_sq, valid, batch_v, batch_slots)
+        return _scatter_sharded(vectors, vec_sq, valid, batch_v,
+                                batch_slots, mesh=self.mesh)
 
     def add(self, vectors: np.ndarray, keys: np.ndarray) -> None:
         vectors = np.asarray(vectors, np.float32)
@@ -134,38 +167,11 @@ class ShardedFlatIndex:
                 jax.device_put(jnp.asarray(bv), sh3),
                 jax.device_put(jnp.asarray(bs), sh2))
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def _search_sharded(self, queries, k: int, vectors=None, vec_sq=None,
                         valid=None):
-        """SPMD search: local top-k per shard, all-gather, merge."""
-        metric = self.metric
-        cap = self.cap
-
-        def shard_fn(q, vecs, vsq, valid):
-            # per-device blocks: q [Bq_local, D]; vecs [1, cap, D]
-            scores, slots = flat_topk(
-                q, vecs[0], k, metric, vec_sq=vsq[0], valid=valid[0],
-                block_n=min(16384, vecs.shape[1]))
-            sid = lax.axis_index("shard").astype(jnp.int32)
-            gid = jnp.where(slots >= 0, sid * cap + slots, -1)
-            # distributed top-k merge over the shard axis
-            all_s = lax.all_gather(scores, "shard", axis=0)  # [S, B, k]
-            all_g = lax.all_gather(gid, "shard", axis=0)
-            b = q.shape[0]
-            cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
-            cat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
-            neg, pos = lax.top_k(-cat_s, k)
-            return -neg, jnp.take_along_axis(cat_g, pos, axis=1)
-
-        return jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P("q", None), P("shard", None, None),
-                      P("shard", None), P("shard", None)),
-            out_specs=(P("q", None), P("q", None)),
-            check_vma=False,  # outputs are replicated over "shard" by the
-            # all_gather+top_k merge; the static checker can't infer that
-        )(queries, vectors, vec_sq, valid)
+        return _search_sharded_flat(
+            queries, vectors, vec_sq, valid, mesh=self.mesh, k=int(k),
+            metric=self.metric, cap=self.cap)
 
     def search(self, queries: np.ndarray, k: int):
         queries = np.asarray(queries, np.float32)
@@ -183,6 +189,38 @@ class ShardedFlatIndex:
         ok = gids >= 0
         keys[ok] = self._keys.reshape(-1)[gids[ok]]
         return scores, keys
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "metric", "cap"))
+def _search_sharded_flat(queries, vectors, vec_sq, valid, *, mesh, k,
+                         metric, cap):
+    """SPMD flat search: local top-k per shard, all-gather, merge."""
+
+    def shard_fn(q, vecs, vsq, valid):
+        # per-device blocks: q [Bq_local, D]; vecs [1, cap, D]
+        scores, slots = flat_topk(
+            q, vecs[0], k, metric, vec_sq=vsq[0], valid=valid[0],
+            block_n=min(16384, vecs.shape[1]))
+        sid = lax.axis_index("shard").astype(jnp.int32)
+        gid = jnp.where(slots >= 0, sid * cap + slots, -1)
+        # distributed top-k merge over the shard axis
+        all_s = lax.all_gather(scores, "shard", axis=0)  # [S, B, k]
+        all_g = lax.all_gather(gid, "shard", axis=0)
+        b = q.shape[0]
+        cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
+        cat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
+        neg, pos = lax.top_k(-cat_s, k)
+        return -neg, jnp.take_along_axis(cat_g, pos, axis=1)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("q", None), P("shard", None, None),
+                  P("shard", None), P("shard", None)),
+        out_specs=(P("q", None), P("q", None)),
+        check_vma=False,  # outputs are replicated over "shard" by the
+        # all_gather+top_k merge; the static checker can't infer that
+    )(queries, vectors, vec_sq, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -230,13 +268,264 @@ def _restack(st: G.GraphState) -> ShardedGraph:
     )
 
 
+# ---------------------------------------------------------------------------
+# SPMD steps (module-level jits: `self` never enters a jit cache key, so
+# programs are shared across index instances — round-1 hashed `self` by
+# id via static_argnums=(0,) and recompiled per instance)
+# ---------------------------------------------------------------------------
+
+_GRAPH_SPEC = ShardedGraph(
+    neighbors0=P("shard", None, None),
+    upper_neighbors=P("shard", None, None, None),
+    upper_slot=P("shard", None),
+    upper_node=P("shard", None),
+    levels=P("shard", None),
+    entry_node=P("shard"),
+    max_level=P("shard"),
+    upper_count=P("shard"),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _scatter_sharded(vectors, vec_sq, valid, batch_v, batch_slots, *, mesh):
+    """SPMD scatter of one [S, B, D] batch into the stacked store."""
+
+    def shard_fn(vectors, vec_sq, valid, bv, bs):
+        rows = jnp.where(bs[0] >= 0, bs[0], jnp.int32(2**30))
+        v = vectors[0].at[rows].set(bv[0], mode="drop")
+        sq = vec_sq[0].at[rows].set(
+            jnp.sum(bv[0] * bv[0], axis=-1), mode="drop")
+        va = valid[0].at[rows].set(True, mode="drop")
+        return v[None], sq[None], va[None]
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("shard", None, None), P("shard", None),
+                  P("shard", None), P("shard", None, None),
+                  P("shard", None)),
+        out_specs=(P("shard", None, None), P("shard", None),
+                   P("shard", None)),
+    )(vectors, vec_sq, valid, batch_v, batch_slots)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _tombstone_sharded(valid, rows, *, mesh):
+    """Scatter False into [S, cap] valid at per-shard row lists."""
+
+    def shard_fn(valid, rows):
+        r = jnp.where(rows[0] >= 0, rows[0], jnp.int32(2**30))
+        return valid[0].at[r].set(False, mode="drop")[None]
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("shard", None), P("shard", None)),
+        out_specs=P("shard", None),
+    )(valid, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "metric", "m", "m0",
+                                             "ef_construction"))
+def _insert_sharded(graph, vectors, vec_sq, slots, levels, *, mesh, metric,
+                    m, m0, ef_construction):
+    def shard_fn(graph, vectors, vec_sq, slots, levels):
+        st = _stack_state(graph)
+        st, _ = B.insert_batch_impl(
+            st, vectors[0], vec_sq[0], slots[0], levels[0],
+            metric, m, m0, ef_construction)
+        return _restack(st)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(_GRAPH_SPEC, P("shard", None, None), P("shard", None),
+                  P("shard", None), P("shard", None)),
+        out_specs=_GRAPH_SPEC,
+        check_vma=False,  # beam-search while_loops mix replicated and
+        # shard-varying carries; skip static VMA tracking
+    )(graph, vectors, vec_sq, slots, levels)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _upper_tables_sharded(vectors, vec_sq, upper_node, *, mesh):
+    """Per-shard upper-level vector tables for the MXU descent, built
+    ONCE per mutation epoch and cached (round-1 re-gathered these from
+    HBM inside every search call)."""
+
+    def shard_fn(vectors, vec_sq, upper_node):
+        node = upper_node[0]
+        safe = jnp.maximum(node, 0)
+        uv = jnp.where((node >= 0)[:, None],
+                       jnp.take(vectors[0], safe, axis=0),
+                       0.0).astype(jnp.bfloat16)
+        uvsq = jnp.take(vec_sq[0], safe) * (node >= 0)
+        return uv[None], uvsq[None]
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("shard", None, None), P("shard", None),
+                  P("shard", None)),
+        out_specs=(P("shard", None, None), P("shard", None)),
+    )(vectors, vec_sq, upper_node)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _nbr_tables_sharded(vectors, vec_sq, neighbors0, *, mesh):
+    """Per-shard int8 neighborhood layout + packed meta (the single-chip
+    fast path, graph.make_neighborhood_tables, per shard)."""
+    from duckdb_vss_tpu.models.graph import make_neighborhood_tables
+    from duckdb_vss_tpu.ops.pallas_beam import pack_meta
+
+    def shard_fn(vectors, vec_sq, neighbors0):
+        nv, sc, sq = make_neighborhood_tables(
+            vectors[0], vec_sq[0], neighbors0[0])
+        meta = pack_meta(neighbors0[0], sc, sq)
+        return nv[None], sc[None], sq[None], meta[None]
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("shard", None, None), P("shard", None),
+                  P("shard", None, None)),
+        out_specs=(P("shard", None, None), P("shard", None, None),
+                   P("shard", None, None), P("shard", None, None)),
+    )(vectors, vec_sq, neighbors0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "cap", "k", "ef", "expand",
+                     "pallas_beam", "has_nbr"))
+def _search_sharded_hnsw(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,
+                         nbr_vecs, nbr_scale, nbr_sq, nbr_meta, *, mesh,
+                         metric, cap, k, ef, expand, pallas_beam, has_nbr):
+    """SPMD search: per-shard graph search through the SAME fast path as
+    the single-chip engine (MXU descent over the cached upper table,
+    int8 neighborhood layout + fused Pallas beam kernel when present),
+    then one all-gather + lax.top_k merge over the shard axis."""
+
+    def shard_fn(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,
+                 nv, nsc, nsq, nmeta):
+        st = _stack_state(graph)
+        kwargs = dict(descent="mxu", upper_vecs=uv[0], upper_vec_sq=uvsq[0],
+                      expand=expand)
+        if has_nbr:
+            kwargs.update(nbr_vecs=nv[0], nbr_scale=nsc[0], nbr_sq=nsq[0],
+                          nbr_meta=nmeta[0], pallas_beam=pallas_beam)
+        else:
+            kwargs.update(traversal_vectors=trav[0])
+        scores, slots, _ = G.search_graph(
+            st, vectors[0], vec_sq[0], valid[0], q, k, ef, metric, **kwargs)
+        sid = lax.axis_index("shard").astype(jnp.int32)
+        gid = jnp.where(slots >= 0, sid * cap + slots, -1)
+        all_s = lax.all_gather(scores, "shard", axis=0)
+        all_g = lax.all_gather(gid, "shard", axis=0)
+        b = q.shape[0]
+        cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
+        cat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
+        neg, pos = lax.top_k(-cat_s, k)
+        return -neg, jnp.take_along_axis(cat_g, pos, axis=1)
+
+    sh3 = P("shard", None, None)
+    sh2 = P("shard", None)
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(_GRAPH_SPEC, sh3, sh2, sh2, sh3, sh3, sh2, P("q", None),
+                  sh3, sh3, sh3, sh3),
+        out_specs=(P("q", None), P("q", None)),
+        check_vma=False,  # replicated over "shard" post-merge
+    )(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,
+      nbr_vecs, nbr_scale, nbr_sq, nbr_meta)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _isolate_sharded(neighbors0, upper_neighbors, valid, *, mesh):
+    """Per-shard isolate(): drop edges into tombstoned slots
+    (usearch isolate(), index.hpp:3109-3146)."""
+
+    def shard_fn(neighbors0, upper_neighbors, valid):
+        def drop(tbl):
+            ok = (tbl >= 0) & jnp.take(valid[0], jnp.maximum(tbl, 0))
+            t = jnp.where(ok, tbl, -1)
+            order = jnp.argsort(jnp.where(t >= 0, 0, 1), axis=-1,
+                                stable=True)
+            return jnp.take_along_axis(t, order, axis=-1)
+
+        sh = upper_neighbors.shape[1:]
+        un = drop(upper_neighbors[0].reshape(-1, sh[-1])).reshape(sh)
+        return drop(neighbors0[0])[None], un[None]
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("shard", None, None), P("shard", None, None, None),
+                  P("shard", None)),
+        out_specs=(P("shard", None, None), P("shard", None, None, None)),
+    )(neighbors0, upper_neighbors, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _apply_compact_sharded(graph, vectors, vec_sq, perm, remap, old_uslot,
+                           row_live, urow_live, upper_slot_new,
+                           upper_node_new, levels_new, entry_new, maxlv_new,
+                           ucount_new, *, mesh):
+    """Apply host-computed per-shard compaction permutations on device:
+    gather rows into new-slot order and remap every edge id
+    (usearch compact() phases 2-3, index.hpp:3002-3096)."""
+
+    def shard_fn(graph, vectors, vec_sq, perm, remap, old_uslot, row_live,
+                 urow_live, upper_slot_new, upper_node_new, levels_new,
+                 entry_new, maxlv_new, ucount_new):
+        g = _stack_state(graph)
+        p = perm[0]
+        rm = remap[0]
+        cap_ = g.neighbors0.shape[0]
+
+        def remap_ids(tbl):
+            return jnp.take(rm, jnp.where(tbl >= 0, tbl, cap_))
+
+        nb0 = remap_ids(jnp.take(g.neighbors0, p, axis=0))
+        nb0 = jnp.where(row_live[0][:, None], nb0, -1)
+        un = remap_ids(jnp.take(g.upper_neighbors, old_uslot[0], axis=0))
+        un = jnp.where(urow_live[0][:, None, None], un, -1)
+        v = jnp.take(vectors[0], p, axis=0) * row_live[0][:, None]
+        sq = jnp.take(vec_sq[0], p) * row_live[0]
+        new_g = G.GraphState(
+            neighbors0=nb0,
+            upper_neighbors=un,
+            upper_slot=upper_slot_new[0],
+            upper_node=upper_node_new[0],
+            levels=levels_new[0],
+            entry_node=entry_new[0],
+            max_level=maxlv_new[0],
+            upper_count=ucount_new[0],
+        )
+        return _restack(new_g), v[None], sq[None], row_live
+
+    sh2 = P("shard", None)
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(_GRAPH_SPEC, P("shard", None, None), sh2, sh2, sh2, sh2,
+                  sh2, sh2, sh2, sh2, sh2, P("shard"), P("shard"),
+                  P("shard")),
+        out_specs=(_GRAPH_SPEC, P("shard", None, None), sh2, sh2),
+    )(graph, vectors, vec_sq, perm, remap, old_uslot, row_live, urow_live,
+      upper_slot_new, upper_node_new, levels_new, entry_new, maxlv_new,
+      ucount_new)
+
+
 class ShardedHNSWIndex:
-    """Hash-partitioned HNSW over a device mesh: independent per-shard
-    subgraphs, SPMD build + search, one top-k merge collective per batch."""
+    """Hash-partitioned HNSW over a device mesh.
+
+    Production surface parity with the single-chip HNSWIndex
+    (hnsw_index.cpp:466-482 delete / :451-464 compact / :410-431 grow /
+    :510-532 persist), plus the north-star distribution features:
+    independent per-shard subgraphs, SPMD build + search with ONE top-k
+    merge collective per batch, virtual-shard placement for hot-key skew,
+    and the single-chip fast path (cached upper tables, int8 neighborhood
+    layout, fused Pallas beam kernel) inside shard_map.
+    """
 
     def __init__(self, dims: int, config: HNSWConfig, mesh: Mesh,
                  capacity_per_shard: int = 4096, seed: int = 0x5EED,
-                 build_batch: int = 128):
+                 build_batch: int = 128, placement_alpha: int = 16):
         self.dims = int(dims)
         self.d_pad = pad_dim(self.dims)
         self.config = config
@@ -247,102 +536,171 @@ class ShardedHNSWIndex:
         self.cap = 1 << (cap - 1).bit_length()
         s = self.n_shards
         self._rng = np.random.default_rng(seed)
-        sh3 = NamedSharding(mesh, P("shard", None, None))
-        sh2 = NamedSharding(mesh, P("shard", None))
-        sh1 = NamedSharding(mesh, P("shard"))
-        self._vectors = jax.device_put(
-            jnp.zeros((s, self.cap, self.d_pad), jnp.float32), sh3)
-        self._vec_sq = jax.device_put(jnp.zeros((s, self.cap), jnp.float32), sh2)
-        self._valid = jax.device_put(jnp.zeros((s, self.cap), jnp.bool_), sh2)
+        self.placement = VirtualPlacement(s, alpha=placement_alpha)
+        self._alloc_store(s, self.cap)
         self._keys = np.full((s, self.cap), -1, np.int64)
-        self._counts = np.zeros((s,), np.int64)
-        cap_u = max(self.cap // G.UPPER_DIV, 64)
-        g0 = ShardedGraph(
+        self._key_to_slot = [dict() for _ in range(s)]
+        self._free_slots = [[] for _ in range(s)]
+        self._next_slot = np.zeros((s,), np.int64)
+        self.graph = self._empty_graph()
+        self._upper_cache = None
+        self._nbr_cache = None
+        self._trav_cache = None
+        import os as _os
+        self.layout = _os.environ.get("DVT_LAYOUT", "auto")
+        self.use_pallas_beam = _os.environ.get("DVT_PALLAS_BEAM",
+                                               "1") == "1"
+        self.is_dirty = False
+
+    # -- storage helpers --------------------------------------------------
+    def _sh(self, *spec):
+        return NamedSharding(self.mesh, P(*spec))
+
+    def _alloc_store(self, s, cap):
+        self._vectors = jax.device_put(
+            jnp.zeros((s, cap, self.d_pad), jnp.float32),
+            self._sh("shard", None, None))
+        self._vec_sq = jax.device_put(
+            jnp.zeros((s, cap), jnp.float32), self._sh("shard", None))
+        self._valid = jax.device_put(
+            jnp.zeros((s, cap), jnp.bool_), self._sh("shard", None))
+
+    def _empty_graph(self) -> ShardedGraph:
+        s, cap, cfg = self.n_shards, self.cap, self.config
+        cap_u = max(cap // G.UPPER_DIV, 64)
+        return ShardedGraph(
             neighbors0=jax.device_put(
-                jnp.full((s, self.cap, config.m0), -1, jnp.int32), sh3),
+                jnp.full((s, cap, cfg.m0), -1, jnp.int32),
+                self._sh("shard", None, None)),
             upper_neighbors=jax.device_put(
-                jnp.full((s, cap_u, G.L_MAX, config.m), -1, jnp.int32),
-                NamedSharding(mesh, P("shard", None, None, None))),
+                jnp.full((s, cap_u, G.L_MAX, cfg.m), -1, jnp.int32),
+                self._sh("shard", None, None, None)),
             upper_slot=jax.device_put(
-                jnp.full((s, self.cap), -1, jnp.int32), sh2),
-            upper_node=jax.device_put(jnp.full((s, cap_u), -1, jnp.int32), sh2),
-            levels=jax.device_put(jnp.full((s, self.cap), -1, jnp.int32), sh2),
-            entry_node=jax.device_put(jnp.full((s,), -1, jnp.int32), sh1),
-            max_level=jax.device_put(jnp.full((s,), -1, jnp.int32), sh1),
-            upper_count=jax.device_put(jnp.zeros((s,), jnp.int32), sh1),
+                jnp.full((s, cap), -1, jnp.int32), self._sh("shard", None)),
+            upper_node=jax.device_put(
+                jnp.full((s, cap_u), -1, jnp.int32),
+                self._sh("shard", None)),
+            levels=jax.device_put(
+                jnp.full((s, cap), -1, jnp.int32), self._sh("shard", None)),
+            entry_node=jax.device_put(
+                jnp.full((s,), -1, jnp.int32), self._sh("shard")),
+            max_level=jax.device_put(
+                jnp.full((s,), -1, jnp.int32), self._sh("shard")),
+            upper_count=jax.device_put(
+                jnp.zeros((s,), jnp.int32), self._sh("shard")),
         )
-        self.graph = g0
+
+    def _invalidate(self):
+        self._upper_cache = None
+        self._nbr_cache = None
+        self._trav_cache = None
+        self.is_dirty = True
 
     def _stack_graphs(self, states) -> "ShardedGraph":
         """Stack per-shard GraphStates into the sharded layout."""
-        mesh = self.mesh
-        field_specs = {
-            "neighbors0": P("shard", None, None),
-            "upper_neighbors": P("shard", None, None, None),
-            "upper_slot": P("shard", None),
-            "upper_node": P("shard", None),
-            "levels": P("shard", None),
-            "entry_node": P("shard"),
-            "max_level": P("shard"),
-            "upper_count": P("shard"),
-        }
         out = {}
-        for f, spec in field_specs.items():
+        for f, spec in _GRAPH_SPEC._asdict().items():
             stacked = jnp.stack([getattr(st, f) for st in states])
-            out[f] = jax.device_put(stacked, NamedSharding(mesh, spec))
+            out[f] = jax.device_put(stacked, NamedSharding(self.mesh, spec))
         return ShardedGraph(**out)
 
-    # -- build ----------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _scatter_step(self, vectors, vec_sq, valid, batch_v, batch_slots):
-        """SPMD scatter of one [S, B, D] batch into the stacked store."""
+    def __len__(self) -> int:
+        return sum(len(m) for m in self._key_to_slot)
 
-        def shard_fn(vectors, vec_sq, valid, bv, bs):
-            rows = jnp.where(bs[0] >= 0, bs[0], jnp.int32(2**30))
-            v = vectors[0].at[rows].set(bv[0], mode="drop")
-            sq = vec_sq[0].at[rows].set(
-                jnp.sum(bv[0] * bv[0], axis=-1), mode="drop")
-            va = valid[0].at[rows].set(True, mode="drop")
-            return v[None], sq[None], va[None]
+    @property
+    def counts(self) -> np.ndarray:
+        """Live members per physical shard."""
+        return np.array([len(m) for m in self._key_to_slot], np.int64)
 
-        return jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P("shard", None, None), P("shard", None),
-                      P("shard", None), P("shard", None, None),
-                      P("shard", None)),
-            out_specs=(P("shard", None, None), P("shard", None),
-                       P("shard", None)),
-        )(vectors, vec_sq, valid, batch_v, batch_slots)
+    # -- grow -------------------------------------------------------------
+    def reserve(self, capacity_per_shard: int) -> None:
+        """Grow every shard's capacity (the reference's exclusive-lock
+        resize, hnsw_index.cpp:410-431)."""
+        new_cap = 1 << (int(capacity_per_shard) - 1).bit_length()
+        if new_cap <= self.cap:
+            return
+        s, old = self.n_shards, self.cap
+        pad = new_cap - old
+        self._vectors = jax.device_put(jnp.pad(
+            self._vectors, ((0, 0), (0, pad), (0, 0))),
+            self._sh("shard", None, None))
+        self._vec_sq = jax.device_put(jnp.pad(
+            self._vec_sq, ((0, 0), (0, pad))), self._sh("shard", None))
+        self._valid = jax.device_put(jnp.pad(
+            self._valid, ((0, 0), (0, pad))), self._sh("shard", None))
+        self._keys = np.concatenate(
+            [self._keys, np.full((s, pad), -1, np.int64)], axis=1)
+        g = self.graph
+        cap_u_new = max(new_cap // G.UPPER_DIV, 64)
+        pad_u = cap_u_new - g.upper_neighbors.shape[1]
+        self.graph = ShardedGraph(
+            neighbors0=jax.device_put(jnp.pad(
+                g.neighbors0, ((0, 0), (0, pad), (0, 0)),
+                constant_values=-1), self._sh("shard", None, None)),
+            upper_neighbors=jax.device_put(jnp.pad(
+                g.upper_neighbors, ((0, 0), (0, pad_u), (0, 0), (0, 0)),
+                constant_values=-1), self._sh("shard", None, None, None)),
+            upper_slot=jax.device_put(jnp.pad(
+                g.upper_slot, ((0, 0), (0, pad)), constant_values=-1),
+                self._sh("shard", None)),
+            upper_node=jax.device_put(jnp.pad(
+                g.upper_node, ((0, 0), (0, pad_u)), constant_values=-1),
+                self._sh("shard", None)),
+            levels=jax.device_put(jnp.pad(
+                g.levels, ((0, 0), (0, pad)), constant_values=-1),
+                self._sh("shard", None)),
+            entry_node=g.entry_node,
+            max_level=g.max_level,
+            upper_count=g.upper_count,
+        )
+        self.cap = new_cap
+        self._invalidate()
+
+    # -- build ------------------------------------------------------------
+    def _sample_levels(self, n: int) -> np.ndarray:
+        import math
+        u = self._rng.random(n)
+        inv = 1.0 / math.log(max(self.config.m, 2))
+        return np.minimum(np.floor(-np.log(np.maximum(u, 1e-12)) * inv),
+                          G.L_MAX).astype(np.int32)
 
     def add(self, vectors: np.ndarray, keys: np.ndarray) -> None:
-        """Hash-partition and insert. Each SPMD step scatters one batch of
-        up to ``build_batch`` vectors into every shard's store on-device
-        (no host round trip of the stacked arrays) and then runs the
-        SPMD graph-insert step."""
+        """Place keys onto shards (virtual-shard, load-aware), scatter
+        vectors on-device, then build/extend each shard's graph SPMD."""
         vectors = np.asarray(vectors, np.float32)
         keys = np.asarray(keys, np.int64).reshape(-1)
-        shards = shard_keys(keys, self.n_shards)
+        shards = self.placement.place(keys)
         s = self.n_shards
         per_shard = [np.nonzero(shards == i)[0] for i in range(s)]
-        if any(len(p) + self._counts[i] > self.cap
-               for i, p in enumerate(per_shard)):
-            raise ValueError("shard capacity exceeded")
+        need = max((len(p) + int(self._next_slot[i])
+                    - len(self._free_slots[i]))
+                   for i, p in enumerate(per_shard))
+        if need > self.cap:
+            self.reserve(need)
 
         slot_lists = []
         for i in range(s):
             idx = per_shard[i]
-            off = int(self._counts[i])
             n_i = len(idx)
-            self._keys[i, off : off + n_i] = keys[idx]
-            slot_lists.append(np.arange(off, off + n_i, dtype=np.int32))
-            self._counts[i] += n_i
+            sl = np.empty((n_i,), np.int64)
+            reuse = min(len(self._free_slots[i]), n_i)
+            for j in range(reuse):
+                sl[j] = self._free_slots[i].pop()
+            fresh = n_i - reuse
+            if fresh:
+                off = int(self._next_slot[i])
+                sl[reuse:] = np.arange(off, off + fresh)
+                self._next_slot[i] += fresh
+            for k_, s_ in zip(keys[idx].tolist(), sl.tolist()):
+                if k_ in self._key_to_slot[i]:
+                    raise ValueError(f"duplicate key {k_}")
+                self._key_to_slot[i][k_] = int(s_)
+            self._keys[i, sl] = keys[idx]
+            slot_lists.append(sl.astype(np.int32))
 
-        bb = self.build_batch
-        sh3 = NamedSharding(self.mesh, P("shard", None, None))
-        sh2 = NamedSharding(self.mesh, P("shard", None))
-        n_scatter = max((len(sl) + bb - 1) // bb for sl in slot_lists) if \
-            slot_lists else 0
+        bb = max(self.build_batch, 4096)
+        n_scatter = max(((len(sl) + bb - 1) // bb for sl in slot_lists),
+                        default=0)
         for step in range(n_scatter):
             bv = np.zeros((s, bb, self.d_pad), np.float32)
             bs = np.full((s, bb), -1, np.int32)
@@ -351,10 +709,13 @@ class ShardedHNSWIndex:
                 src = per_shard[i][step * bb : (step + 1) * bb]
                 bv[i, : len(chunk), : self.dims] = vectors[src]
                 bs[i, : len(chunk)] = chunk
-            self._vectors, self._vec_sq, self._valid = self._scatter_step(
+            self._vectors, self._vec_sq, self._valid = _scatter_sharded(
                 self._vectors, self._vec_sq, self._valid,
-                jax.device_put(jnp.asarray(bv), sh3),
-                jax.device_put(jnp.asarray(bs), sh2))
+                jax.device_put(jnp.asarray(bv), self._sh("shard", None,
+                                                         None)),
+                jax.device_put(jnp.asarray(bs), self._sh("shard", None)),
+                mesh=self.mesh)
+
         # bulk load into empty shards: per-shard local MXU bulk build
         # (on a real pod each host builds its partition locally; only
         # search needs collectives), then stack the per-shard graphs
@@ -371,114 +732,170 @@ class ShardedHNSWIndex:
                 lv = self._sample_levels(len(sl))
                 states.append(bulk_build(
                     jnp.asarray(host_v[i]), jnp.asarray(host_q[i]),
-                    sl.astype(np.int32), lv, self.config, self.config.metric,
+                    sl.astype(np.int32), lv, self.config,
+                    self.config.metric,
                     host_vectors=host_v[i][sl][:, : self.dims]))
             self.graph = self._stack_graphs(states)
+            self._invalidate()
             return
 
-        n_steps = max((len(sl) + bb - 1) // bb for sl in slot_lists) or 0
+        bb = self.build_batch
+        cfg = self.config
+        n_steps = max(((len(sl) + bb - 1) // bb for sl in slot_lists),
+                      default=0)
         for step in range(n_steps):
             batch_slots = np.full((s, bb), -1, np.int32)
             batch_levels = np.zeros((s, bb), np.int32)
             for i in range(s):
                 chunk = slot_lists[i][step * bb : (step + 1) * bb]
                 batch_slots[i, : len(chunk)] = chunk
-                batch_levels[i, : len(chunk)] = self._sample_levels(len(chunk))
-            self.graph = self._insert_step(
+                batch_levels[i, : len(chunk)] = self._sample_levels(
+                    len(chunk))
+            self.graph = _insert_sharded(
                 self.graph, self._vectors, self._vec_sq,
                 jax.device_put(jnp.asarray(batch_slots),
-                               NamedSharding(self.mesh, P("shard", None))),
+                               self._sh("shard", None)),
                 jax.device_put(jnp.asarray(batch_levels),
-                               NamedSharding(self.mesh, P("shard", None))))
+                               self._sh("shard", None)),
+                mesh=self.mesh, metric=cfg.metric, m=cfg.m, m0=cfg.m0,
+                ef_construction=cfg.ef_construction)
+        self._invalidate()
 
-    def _sample_levels(self, n: int) -> np.ndarray:
-        import math
-        u = self._rng.random(n)
-        inv = 1.0 / math.log(max(self.config.m, 2))
-        return np.minimum(np.floor(-np.log(np.maximum(u, 1e-12)) * inv),
-                          G.L_MAX).astype(np.int32)
+    # -- delete / compact ---------------------------------------------------
+    def remove(self, keys) -> int:
+        """Tombstone delete across shards (hnsw_index.cpp:466-482 ->
+        free-list push + search-time filtering)."""
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        s = self.n_shards
+        rows = [[] for _ in range(s)]
+        removed = np.zeros((s,), np.int64)
+        for k_ in keys.tolist():
+            for i in range(s):
+                slot = self._key_to_slot[i].pop(int(k_), None)
+                if slot is not None:
+                    rows[i].append(slot)
+                    self._keys[i, slot] = -1
+                    self._free_slots[i].append(slot)
+                    removed[i] += 1
+                    break
+        n = int(removed.sum())
+        if n == 0:
+            return 0
+        width = max(len(r) for r in rows)
+        width = max(8, 1 << (width - 1).bit_length())
+        batch = np.full((s, width), -1, np.int32)
+        for i in range(s):
+            batch[i, : len(rows[i])] = rows[i]
+        self._valid = _tombstone_sharded(
+            self._valid,
+            jax.device_put(jnp.asarray(batch), self._sh("shard", None)),
+            mesh=self.mesh)
+        self.placement.unplace_counts(removed)
+        self.is_dirty = True  # tombstones only; caches stay valid
+        return n
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def _insert_step(self, graph, vectors, vec_sq, slots, levels):
-        cfg = self.config
+    def isolate(self) -> None:
+        """Drop edges into tombstoned nodes on every shard."""
+        nb0, un = _isolate_sharded(
+            self.graph.neighbors0, self.graph.upper_neighbors, self._valid,
+            mesh=self.mesh)
+        self.graph = self.graph._replace(neighbors0=nb0,
+                                         upper_neighbors=un)
+        self._invalidate()
 
-        def shard_fn(graph, vectors, vec_sq, slots, levels):
-            st = _stack_state(graph)
-            st, _ = B.insert_batch_impl(
-                st, vectors[0], vec_sq[0], slots[0], levels[0],
-                cfg.metric, cfg.m, cfg.m0, cfg.ef_construction)
-            return _restack(st)
+    def compact(self) -> None:
+        """Per-shard slot-permutation compaction (usearch compact(),
+        index.hpp:3002-3096): permutations are computed host-side from
+        the (small) valid/levels arrays, then applied on device in one
+        SPMD step of gathers + id remaps."""
+        s, cap = self.n_shards, self.cap
+        valid = np.asarray(jax.device_get(self._valid))
+        levels = np.asarray(jax.device_get(self.graph.levels))
+        cap_u = self.graph.upper_neighbors.shape[1]
+        uslot = np.asarray(jax.device_get(self.graph.upper_slot))
 
-        spec = ShardedGraph(
-            neighbors0=P("shard", None, None),
-            upper_neighbors=P("shard", None, None, None),
-            upper_slot=P("shard", None),
-            upper_node=P("shard", None),
-            levels=P("shard", None),
-            entry_node=P("shard"),
-            max_level=P("shard"),
-            upper_count=P("shard"),
-        )
-        return jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(spec, P("shard", None, None), P("shard", None),
-                      P("shard", None), P("shard", None)),
-            out_specs=spec,
-            check_vma=False,  # beam-search while_loops mix replicated and
-            # shard-varying carries; skip static VMA tracking
-        )(graph, vectors, vec_sq, slots, levels)
+        perm = np.zeros((s, cap), np.int32)
+        remap = np.full((s, cap + 1), -1, np.int32)
+        old_uslot = np.zeros((s, cap_u), np.int32)
+        row_live = np.zeros((s, cap), bool)
+        urow_live = np.zeros((s, cap_u), bool)
+        upper_slot_new = np.full((s, cap), -1, np.int32)
+        upper_node_new = np.full((s, cap_u), -1, np.int32)
+        levels_new = np.full((s, cap), -1, np.int32)
+        entry_new = np.full((s,), -1, np.int32)
+        maxlv_new = np.full((s,), -1, np.int32)
+        ucount_new = np.zeros((s,), np.int32)
+        keys_new = np.full((s, cap), -1, np.int64)
 
-    # -- search ---------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 6, 7))
-    def _search_step(self, graph, vectors, vec_sq, valid, q, k, ef):
-        metric = self.config.metric
-        cap = self.cap
+        for i in range(s):
+            live = np.nonzero(valid[i])[0]
+            n_live = len(live)
+            order = np.lexsort((live, -levels[i][live]))
+            old_of_new = live[order]
+            perm[i, :n_live] = old_of_new
+            remap[i, old_of_new] = np.arange(n_live)
+            row_live[i, :n_live] = True
+            lv_new = levels[i][old_of_new]
+            levels_new[i, :n_live] = lv_new
+            has_upper = lv_new >= 1
+            n_up = int(has_upper.sum())
+            upper_slot_new[i, np.nonzero(has_upper)[0]] = np.arange(n_up)
+            old_uslot[i, :n_up] = uslot[i][old_of_new[has_upper]]
+            urow_live[i, :n_up] = True
+            upper_node_new[i, :n_up] = np.nonzero(has_upper)[0]
+            ucount_new[i] = n_up
+            if n_live:
+                maxlv_new[i] = int(lv_new.max())
+                entry_new[i] = 0  # highest level sorts first
+            keys_new[i, :n_live] = self._keys[i][old_of_new]
+            self._key_to_slot[i] = {
+                int(k): j for j, k in enumerate(keys_new[i, :n_live])}
+            self._free_slots[i] = []
+            self._next_slot[i] = n_live
 
-        def shard_fn(graph, vectors, vec_sq, valid, q):
-            st = _stack_state(graph)
-            # per-shard upper-level vector table for the MXU descent
-            # (gathered once per query batch; the descent matmul then
-            # routes every query exactly — see graph.mxu_descent)
-            node = st.upper_node
-            safe = jnp.maximum(node, 0)
-            uv = jnp.where((node >= 0)[:, None],
-                           jnp.take(vectors[0], safe, axis=0),
-                           0.0).astype(jnp.bfloat16)
-            uvsq = jnp.take(vec_sq[0], safe) * (node >= 0)
-            scores, slots, _ = G.search_graph(
-                st, vectors[0], vec_sq[0], valid[0], q, k, ef, metric,
-                descent="mxu", upper_vecs=uv, upper_vec_sq=uvsq)
-            sid = lax.axis_index("shard").astype(jnp.int32)
-            gid = jnp.where(slots >= 0, sid * cap + slots, -1)
-            all_s = lax.all_gather(scores, "shard", axis=0)
-            all_g = lax.all_gather(gid, "shard", axis=0)
-            b = q.shape[0]
-            cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, -1)
-            cat_g = jnp.moveaxis(all_g, 0, 1).reshape(b, -1)
-            neg, pos = lax.top_k(-cat_s, k)
-            return -neg, jnp.take_along_axis(cat_g, pos, axis=1)
+        sh2 = self._sh("shard", None)
+        sh1 = self._sh("shard")
+        dev = lambda a, sh: jax.device_put(jnp.asarray(a), sh)
+        (self.graph, self._vectors, self._vec_sq,
+         valid_new) = _apply_compact_sharded(
+            self.graph, self._vectors, self._vec_sq,
+            dev(perm, sh2), dev(remap, sh2), dev(old_uslot, sh2),
+            dev(row_live, sh2), dev(urow_live, sh2),
+            dev(upper_slot_new, sh2), dev(upper_node_new, sh2),
+            dev(levels_new, sh2), dev(entry_new, sh1),
+            dev(maxlv_new, sh1), dev(ucount_new, sh1), mesh=self.mesh)
+        self._valid = valid_new
+        self._keys = keys_new
+        self._invalidate()
 
-        spec = ShardedGraph(
-            neighbors0=P("shard", None, None),
-            upper_neighbors=P("shard", None, None, None),
-            upper_slot=P("shard", None),
-            upper_node=P("shard", None),
-            levels=P("shard", None),
-            entry_node=P("shard"),
-            max_level=P("shard"),
-            upper_count=P("shard"),
-        )
-        return jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(spec, P("shard", None, None), P("shard", None),
-                      P("shard", None), P("q", None)),
-            out_specs=(P("q", None), P("q", None)),
-            check_vma=False,  # replicated over "shard" post-merge
-        )(graph, vectors, vec_sq, valid, q)
+    # -- search -------------------------------------------------------------
+    def _tables(self):
+        if self._upper_cache is None:
+            self._upper_cache = _upper_tables_sharded(
+                self._vectors, self._vec_sq, self.graph.upper_node,
+                mesh=self.mesh)
+        use_nbr = self.layout == "neighborhood" or (
+            self.layout == "auto"
+            and jax.default_backend() != "cpu"
+            and self._nbr_budget_ok())
+        if use_nbr and self._nbr_cache is None:
+            self._nbr_cache = _nbr_tables_sharded(
+                self._vectors, self._vec_sq, self.graph.neighbors0,
+                mesh=self.mesh)
+        if not use_nbr and self._trav_cache is None:
+            self._trav_cache = jax.jit(
+                lambda v: v.astype(jnp.bfloat16))(self._vectors)
+        return self._upper_cache, (self._nbr_cache if use_nbr else None)
 
-    def search(self, queries: np.ndarray, k: int, ef: int | None = None):
+    def _nbr_budget_ok(self) -> bool:
+        import os as _os
+        m0 = self.graph.neighbors0.shape[2]
+        per_shard = self.cap * m0 * self.d_pad  # int8
+        budget = float(_os.environ.get("DVT_NBR_BUDGET_GB", "6")) * (1 << 30)
+        return per_shard * self.n_shards <= budget
+
+    def search(self, queries: np.ndarray, k: int, ef: int | None = None,
+               expand: int = 4):
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -486,13 +903,215 @@ class ShardedHNSWIndex:
         n_q = self.mesh.shape["q"]
         b_pad = round_up(max(b, 1), max(8, n_q))
         q = jnp.asarray(pad_2d_np(queries, b_pad, self.d_pad))
-        q = jax.device_put(q, NamedSharding(self.mesh, P("q", None)))
+        q = jax.device_put(q, self._sh("q", None))
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
-        scores, gids = jax.device_get(self._search_step(
-            self.graph, self._vectors, self._vec_sq, self._valid, q,
-            int(k), ef_eff))
+        (uv, uvsq), nbr = self._tables()
+        has_nbr = nbr is not None
+        if has_nbr:
+            nv, nsc, nsq, nmeta = nbr
+            trav = self._vectors  # unused on this path
+        else:
+            nv = nsc = nsq = nmeta = jnp.zeros(
+                (self.n_shards, 1, 1), jnp.float32)
+            nv = jax.device_put(nv, self._sh("shard", None, None))
+            nsc = nsq = nmeta = nv
+            trav = self._trav_cache
+        scores, gids = jax.device_get(_search_sharded_hnsw(
+            self.graph, self._vectors, self._vec_sq, self._valid, trav,
+            uv, uvsq, q, nv, nsc, nsq, nmeta, mesh=self.mesh,
+            metric=self.config.metric, cap=self.cap, k=int(k), ef=ef_eff,
+            expand=expand,
+            pallas_beam=self.use_pallas_beam and has_nbr, has_nbr=has_nbr))
         scores, gids = scores[:b], gids[:b]
         keys = np.full(gids.shape, -1, np.int64)
         ok = gids >= 0
         keys[ok] = self._keys.reshape(-1)[gids[ok]]
         return scores, keys
+
+    # -- introspection / persistence ----------------------------------------
+    def stats(self) -> dict:
+        levels = np.asarray(jax.device_get(self.graph.levels))
+        valid = np.asarray(jax.device_get(self._valid))
+        per = []
+        for i in range(self.n_shards):
+            per.append({
+                "count": int(valid[i].sum()),
+                "max_level": int(levels[i].max()),
+                "capacity": self.cap,
+            })
+        return {"n_shards": self.n_shards, "count": len(self),
+                "placement_load": self.placement.load.tolist(),
+                "shards": per}
+
+    def save(self, path: str) -> None:
+        """Whole-index serialization of the stacked shard arrays through
+        the native container (PersistToDisk analog)."""
+        from duckdb_vss_tpu.utils import persist as PS
+
+        lib = PS.get_lib()
+        if lib is None:
+            raise PS.PersistError("native vss_store library unavailable")
+        import ctypes
+
+        s, cap = self.n_shards, self.cap
+        g = self.graph
+        cap_u = g.upper_neighbors.shape[1]
+        hdr = PS._FileHeader()
+        hdr.metric = PS._METRIC_CODE[self.config.metric]
+        hdr.dims = self.dims
+        hdr.d_pad = self.d_pad
+        hdr.m = self.config.m
+        hdr.m0 = self.config.m0
+        hdr.ef_construction = self.config.ef_construction
+        hdr.ef_search = self.config.ef_search
+        hdr.max_level = 0
+        hdr.entry_node = 0
+        hdr.count = len(self)
+        hdr.capacity = cap
+        hdr.cap_upper = cap_u
+        hdr.upper_count = 0
+        hdr.reserved[0] = s
+        hdr.reserved[1] = self.placement.v
+        free_flat = np.concatenate(
+            [np.asarray(f, np.int64) for f in self._free_slots]) \
+            if any(self._free_slots) else np.zeros((0,), np.int64)
+        free_off = np.zeros((s + 1,), np.int64)
+        for i in range(s):
+            free_off[i + 1] = free_off[i] + len(self._free_slots[i])
+        arrays = {
+            "keys": np.ascontiguousarray(self._keys),
+            "valid": np.ascontiguousarray(np.asarray(
+                jax.device_get(self._valid)).astype(np.uint8)),
+            "vectors": np.ascontiguousarray(jax.device_get(self._vectors)),
+            "neighbors0": np.ascontiguousarray(
+                jax.device_get(g.neighbors0)),
+            "upper_nbrs": np.ascontiguousarray(
+                jax.device_get(g.upper_neighbors)),
+            "upper_slot": np.ascontiguousarray(
+                jax.device_get(g.upper_slot)),
+            "upper_node": np.ascontiguousarray(
+                jax.device_get(g.upper_node)),
+            "levels": np.ascontiguousarray(jax.device_get(g.levels)),
+            "entry_node": np.ascontiguousarray(
+                jax.device_get(g.entry_node)),
+            "smax_level": np.ascontiguousarray(
+                jax.device_get(g.max_level)),
+            "supper_count": np.ascontiguousarray(
+                jax.device_get(g.upper_count)),
+            "next_slot": np.ascontiguousarray(self._next_slot),
+            "free_slots": free_flat,
+            "free_off": free_off,
+            "pl_assign": np.ascontiguousarray(self.placement.assign),
+            "pl_load": np.ascontiguousarray(self.placement.load),
+        }
+        w = lib.vss_writer_open(path.encode(), ctypes.byref(hdr))
+        if not w:
+            raise PS.PersistError(f"cannot open {path} for writing")
+        try:
+            for name, arr in arrays.items():
+                rc = lib.vss_writer_section(
+                    w, name.encode(), 0,
+                    arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes)
+                if rc != 0:
+                    raise PS.PersistError(
+                        f"write section {name} failed rc={rc}")
+        finally:
+            lib.vss_writer_close(w)
+        self.is_dirty = False
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh) -> "ShardedHNSWIndex":
+        from duckdb_vss_tpu.utils import persist as PS
+
+        lib = PS.get_lib()
+        if lib is None:
+            raise PS.PersistError("native vss_store library unavailable")
+        import ctypes
+
+        r = lib.vss_reader_open(path.encode())
+        if not r:
+            raise PS.PersistError(f"cannot open {path}")
+        try:
+            h = lib.vss_reader_header(r).contents
+            s = int(h.reserved[0])
+            v_virtual = int(h.reserved[1])
+            cap = int(h.capacity)
+            cap_u = int(h.cap_upper)
+            d_pad = int(h.d_pad)
+            m, m0 = int(h.m), int(h.m0)
+            cfg = HNSWConfig(
+                metric=PS._CODE_METRIC[int(h.metric)],
+                ef_construction=int(h.ef_construction),
+                ef_search=int(h.ef_search), m=m, m0=m0)
+            dims = int(h.dims)
+            assert s == mesh.shape["shard"], (s, dict(mesh.shape))
+
+            def read(name, dtype, shape):
+                arr = np.empty(shape, dtype)
+                got = lib.vss_reader_section(
+                    r, name.encode(),
+                    arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes)
+                if got != arr.nbytes:
+                    raise PS.PersistError(f"section {name}: rc={got}")
+                return arr
+
+            keys = read("keys", np.int64, (s, cap))
+            valid = read("valid", np.uint8, (s, cap)).astype(bool)
+            vectors = read("vectors", np.float32, (s, cap, d_pad))
+            neighbors0 = read("neighbors0", np.int32, (s, cap, m0))
+            upper_nbrs = read("upper_nbrs", np.int32,
+                              (s, cap_u, G.L_MAX, m))
+            upper_slot = read("upper_slot", np.int32, (s, cap))
+            upper_node = read("upper_node", np.int32, (s, cap_u))
+            levels = read("levels", np.int32, (s, cap))
+            entry_node = read("entry_node", np.int32, (s,))
+            smax_level = read("smax_level", np.int32, (s,))
+            supper_count = read("supper_count", np.int32, (s,))
+            next_slot = read("next_slot", np.int64, (s,))
+            n_free = lib.vss_reader_section(r, b"free_slots", None, 0) // 8
+            free_flat = read("free_slots", np.int64, (int(n_free),)) \
+                if n_free > 0 else np.zeros((0,), np.int64)
+            free_off = read("free_off", np.int64, (s + 1,))
+            pl_assign = read("pl_assign", np.int32, (v_virtual,))
+            pl_load = read("pl_load", np.int64, (s,))
+        finally:
+            lib.vss_reader_close(r)
+
+        idx = cls(dims, cfg, mesh, capacity_per_shard=cap,
+                  placement_alpha=max(1, v_virtual // s))
+        assert idx.cap == cap
+        idx.placement.assign = pl_assign
+        idx.placement.load = pl_load
+        sh = idx._sh
+        idx._vectors = jax.device_put(jnp.asarray(vectors),
+                                      sh("shard", None, None))
+        idx._vec_sq = jax.device_put(
+            jnp.sum(jnp.asarray(vectors) ** 2, axis=-1),
+            sh("shard", None))
+        idx._valid = jax.device_put(jnp.asarray(valid), sh("shard", None))
+        idx._keys = keys
+        idx._key_to_slot = [
+            {int(k): j for j, k in enumerate(keys[i].tolist()) if k >= 0}
+            for i in range(s)]
+        idx._free_slots = [
+            free_flat[free_off[i]:free_off[i + 1]].astype(int).tolist()
+            for i in range(s)]
+        idx._next_slot = next_slot
+        idx.graph = ShardedGraph(
+            neighbors0=jax.device_put(jnp.asarray(neighbors0),
+                                      sh("shard", None, None)),
+            upper_neighbors=jax.device_put(
+                jnp.asarray(upper_nbrs), sh("shard", None, None, None)),
+            upper_slot=jax.device_put(jnp.asarray(upper_slot),
+                                      sh("shard", None)),
+            upper_node=jax.device_put(jnp.asarray(upper_node),
+                                      sh("shard", None)),
+            levels=jax.device_put(jnp.asarray(levels), sh("shard", None)),
+            entry_node=jax.device_put(jnp.asarray(entry_node),
+                                      sh("shard")),
+            max_level=jax.device_put(jnp.asarray(smax_level), sh("shard")),
+            upper_count=jax.device_put(jnp.asarray(supper_count),
+                                       sh("shard")),
+        )
+        idx.is_dirty = False
+        return idx

@@ -908,13 +908,12 @@ def open_database(directory: str) -> Database:
         t._ckpt_dirty = False
     for iname, meta in catalog["indexes"].items():
         if fmt2:
-            tmp = _os.path.join(directory, ".blob.read.tmp")
-            with open(tmp, "wb") as f:
-                f.write(mgr.read_blob(meta["blocks"]))
-            try:
-                idx = _persist.load_index(tmp)
-            finally:
-                _os.unlink(tmp)
+            # reader over the blob image directly — no temp-file round
+            # trip; the factory re-reads block storage at (deferred)
+            # materialize time so the image is never pinned in RAM
+            blocks = meta["blocks"]
+            idx = _persist.load_index_from_buffer(
+                lambda blocks=blocks: mgr.read_blob(blocks))
         else:
             idx = _persist.load_index(
                 _os.path.join(directory, f"index_{iname}.vss"))

@@ -79,6 +79,8 @@ def get_lib():
     lib.vss_writer_close.argtypes = [ctypes.c_void_p]
     lib.vss_reader_open.restype = ctypes.c_void_p
     lib.vss_reader_open.argtypes = [ctypes.c_char_p]
+    lib.vss_reader_open_mem.restype = ctypes.c_void_p
+    lib.vss_reader_open_mem.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
     lib.vss_reader_header.restype = ctypes.POINTER(_FileHeader)
     lib.vss_reader_header.argtypes = [ctypes.c_void_p]
     lib.vss_reader_section.restype = ctypes.c_int64
@@ -98,6 +100,7 @@ def save_index(index, path: str) -> None:
     hnsw_index.cpp:514-517 — callers may force)."""
     import jax
 
+    index._ensure_loaded()
     st = index.store
     g = index.graph
     cfg = index.config
@@ -160,20 +163,56 @@ def save_index(index, path: str) -> None:
     index.is_dirty = False
 
 
-def load_index(path: str):
+def load_index(path: str, lazy: bool | None = None):
     """Reconstruct an HNSWIndex (reindex_keys_ analog rebuilds the
-    key->slot map + free list, index_dense.hpp:1901-1929)."""
+    key->slot map + free list, index_dense.hpp:1901-1929).
+
+    lazy (default: env DVT_DEFERRED_LOAD, on) mirrors the reference's
+    deferred load (hnsw_index.cpp:192-206, load on first access): only
+    the header + host-side key map are read now; the device arrays are
+    materialized by the first data-touching call on the index. The
+    container stays on disk (mmap'd per materialize), so opening a
+    database with large indexes is O(ms)."""
+    lib = get_lib()
+    if lib is None or not os.path.exists(path):
+        return _load_npz(path)
+    return _load_native(
+        lambda: (lib.vss_reader_open(path.encode()), None),
+        lazy=lazy, what=path)
+
+
+def load_index_from_buffer(get_bytes, lazy: bool | None = None):
+    """Like load_index but over an in-memory container image.
+
+    get_bytes is a zero-arg callable returning the image (so a lazy load
+    re-reads from the source — e.g. block storage — at materialize time
+    instead of pinning the whole image in RAM), or a bytes object."""
+    lib = get_lib()
+    if lib is None:
+        raise PersistError("native vss_store library unavailable")
+    factory = get_bytes if callable(get_bytes) else (lambda: get_bytes)
+
+    def open_reader():
+        buf = factory()
+        # hold a reference to the buffer alongside the handle: the
+        # reader views caller-owned memory
+        return lib.vss_reader_open_mem(buf, len(buf)), buf
+
+    return _load_native(open_reader, lazy=lazy, what="<buffer>")
+
+
+def _load_native(open_reader, lazy: bool | None, what: str):
     import jax.numpy as jnp
 
     from duckdb_vss_tpu.models.graph import GraphState, L_MAX
     from duckdb_vss_tpu.models.hnsw import HNSWIndex
 
+    if lazy is None:
+        lazy = os.environ.get("DVT_DEFERRED_LOAD", "1") == "1"
     lib = get_lib()
-    if lib is None or not os.path.exists(path):
-        return _load_npz(path)
-    r = lib.vss_reader_open(path.encode())
+    r, _buf = open_reader()
     if not r:
-        raise PersistError(f"cannot open {path} (missing or corrupt header)")
+        raise PersistError(f"cannot open {what} (missing or corrupt header)")
     try:
         # copy header fields immediately: .contents views memory owned by
         # the reader handle and is freed by vss_reader_close
@@ -192,10 +231,11 @@ def load_index(path: str):
             m0=int(hdr.m0),
         )
 
-        def read(name, dtype, shape):
+        def read(name, dtype, shape, rr=None):
+            rr = r if rr is None else rr
             arr = np.empty(shape, dtype)
             got = lib.vss_reader_section(
-                r, name.encode(), arr.ctypes.data_as(ctypes.c_void_p),
+                rr, name.encode(), arr.ctypes.data_as(ctypes.c_void_p),
                 arr.nbytes)
             if got < 0:
                 raise PersistError(f"section {name}: rc={got} (corrupt?)")
@@ -204,43 +244,72 @@ def load_index(path: str):
                     f"section {name}: size {got} != expected {arr.nbytes}")
             return arr
 
+        # host-side bookkeeping is always eager (key map, free list):
+        # small, and needed for catalog-level answers without a load
         keys = read("keys", np.int64, (cap,))
-        valid = read("valid", np.uint8, (cap,)).astype(bool)
-        vectors = read("vectors", np.float32, (cap, d_pad))
-        neighbors0 = read("neighbors0", np.int32, (cap, int(hdr.m0)))
-        upper_nbrs = read("upper_nbrs", np.int32,
-                          (cap_u, L_MAX, int(hdr.m)))
-        upper_slot = read("upper_slot", np.int32, (cap,))
-        upper_node = read("upper_node", np.int32, (cap_u,))
-        levels = read("levels", np.int32, (cap,))
         n_free = lib.vss_reader_section(r, b"free_slots", None, 0) // 8
         free_slots = read("free_slots", np.int64, (int(n_free),)) \
             if n_free > 0 else np.zeros((0,), np.int64)
         next_slot = int(read("next_slot", np.int64, (1,))[0])
-    finally:
+    except Exception:
         lib.vss_reader_close(r)
+        raise
 
-    idx = HNSWIndex(int(hdr.dims), cfg, capacity=cap)
+    m, m0 = int(hdr.m), int(hdr.m0)
+
+    def _fill(ix, rr):
+        """Read the device sections into an index (shared by the eager
+        path and the deferred materializer)."""
+        valid = read("valid", np.uint8, (cap,), rr).astype(bool)
+        vectors = read("vectors", np.float32, (cap, d_pad), rr)
+        neighbors0 = read("neighbors0", np.int32, (cap, m0), rr)
+        upper_nbrs = read("upper_nbrs", np.int32, (cap_u, L_MAX, m), rr)
+        upper_slot = read("upper_slot", np.int32, (cap,), rr)
+        upper_node = read("upper_node", np.int32, (cap_u,), rr)
+        levels = read("levels", np.int32, (cap,), rr)
+        st = ix.store
+        st._vectors = jnp.asarray(vectors)
+        st._vec_sq = jnp.sum(st._vectors * st._vectors, axis=-1)
+        st._valid = jnp.asarray(valid)
+        ix.graph = GraphState(
+            neighbors0=jnp.asarray(neighbors0),
+            upper_neighbors=jnp.asarray(upper_nbrs),
+            upper_slot=jnp.asarray(upper_slot),
+            upper_node=jnp.asarray(upper_node),
+            levels=jnp.asarray(levels),
+            entry_node=jnp.int32(int(hdr.entry_node)),
+            max_level=jnp.int32(int(hdr.max_level)),
+            upper_count=jnp.int32(int(hdr.upper_count)),
+        )
+
+    idx = HNSWIndex(int(hdr.dims), cfg, capacity=cap,
+                    _defer_alloc=lazy)
     st = idx.store
-    st._vectors = jnp.asarray(vectors)
-    st._vec_sq = jnp.sum(st._vectors * st._vectors, axis=-1)
-    st._valid = jnp.asarray(valid)
     st._keys = keys
     st._key_to_slot = {
         int(k): i for i, k in enumerate(keys.tolist()) if k >= 0}
     st._free_slots = [int(x) for x in free_slots.tolist()]
     st._next_slot = next_slot
     st.size = int(hdr.count)
-    idx.graph = GraphState(
-        neighbors0=jnp.asarray(neighbors0),
-        upper_neighbors=jnp.asarray(upper_nbrs),
-        upper_slot=jnp.asarray(upper_slot),
-        upper_node=jnp.asarray(upper_node),
-        levels=jnp.asarray(levels),
-        entry_node=jnp.int32(int(hdr.entry_node)),
-        max_level=jnp.int32(int(hdr.max_level)),
-        upper_count=jnp.int32(int(hdr.upper_count)),
-    )
+    if lazy:
+        lib.vss_reader_close(r)
+
+        def _materialize(ix):
+            r2, _buf2 = open_reader()
+            if not r2:
+                raise PersistError(f"cannot re-open {what} for deferred "
+                                   "load")
+            try:
+                _fill(ix, r2)
+            finally:
+                lib.vss_reader_close(r2)
+
+        idx._pending_load = _materialize
+    else:
+        try:
+            _fill(idx, r)
+        finally:
+            lib.vss_reader_close(r)
     idx.is_dirty = False
     return idx
 

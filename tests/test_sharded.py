@@ -82,3 +82,112 @@ def test_sharded_hnsw_incremental(mesh8):
     sh.add(v2, np.arange(1000, 1100))
     _, got = sh.search(v2[:10], 1, ef=64)
     assert (got[:, 0] >= 1000).mean() >= 0.9
+
+
+def test_virtual_placement_balances_pathological_keys(mesh8):
+    """`key mod S` piles keys ending in the same residue onto one shard;
+    the virtual-shard hash + load-aware assignment must balance them
+    (BASELINE north star: skew handling via over-partitioning)."""
+    from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+    rng = np.random.default_rng(0)
+    n, d = 1024, 16
+    s = mesh8.shape["shard"]
+    # pathological: every key = i * S (all congruent mod S) plus a hot
+    # zipf-like block of near-sequential ids
+    keys = np.concatenate([
+        np.arange(n // 2, dtype=np.int64) * s,
+        10_000_000 + np.arange(n // 2, dtype=np.int64)])
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    idx = ShardedHNSWIndex(d, HNSWConfig(m=4, m0=8), mesh8,
+                           capacity_per_shard=1024, build_batch=64)
+    idx.add(vecs, keys)
+    counts = idx.counts
+    assert counts.sum() == n
+    # perfectly balanced would be n/s per shard; demand < 2x imbalance
+    # (mod-S would put 100% of the first half on shard 0)
+    assert counts.max() <= 2 * n // s, counts.tolist()
+    # searches still find their keys across shards
+    _, got = idx.search(vecs[:16], 1, ef=32)
+    assert (got[:, 0] == keys[:16]).mean() >= 0.75
+
+
+def test_sharded_delete_compact_grow(mesh8, rng):
+    from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+    n, d = 512, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    keys = np.arange(n, dtype=np.int64)
+    idx = ShardedHNSWIndex(d, HNSWConfig(m=4, m0=8), mesh8,
+                           capacity_per_shard=1024, build_batch=64)
+    idx.add(vecs, keys)
+    dead = keys[100:160]
+    assert idx.remove(dead) == 60
+    assert len(idx) == n - 60
+    _, got = idx.search(vecs[100:110], 2, ef=32)
+    assert not np.isin(got, dead).any()
+
+    idx.compact()
+    assert len(idx) == n - 60
+    _, got = idx.search(vecs[:8], 1, ef=32)
+    assert (got[:, 0] == keys[:8]).mean() >= 0.75
+    # free slots are reusable after compact (slots repacked)
+    idx.add(vecs[100:160] + 0.01, dead + 10_000)
+    assert len(idx) == n
+
+    idx.reserve(4096)
+    assert idx.cap == 4096
+    more = rng.normal(size=(64, d)).astype(np.float32)
+    idx.add(more, 50_000 + np.arange(64, dtype=np.int64))
+    _, got = idx.search(more[:4], 1, ef=32)
+    assert (got[:, 0] >= 50_000).all()
+
+
+def test_sharded_persist_roundtrip(mesh8, rng, tmp_path):
+    from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+    n, d = 512, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    keys = np.arange(n, dtype=np.int64) * 7
+    idx = ShardedHNSWIndex(d, HNSWConfig(m=4, m0=8), mesh8,
+                           capacity_per_shard=1024, build_batch=64)
+    idx.add(vecs, keys)
+    idx.remove(keys[:10])
+    path = str(tmp_path / "sharded.vss")
+    idx.save(path)
+
+    idx2 = ShardedHNSWIndex.load(path, mesh8)
+    assert len(idx2) == len(idx)
+    q = vecs[20:36]
+    s1, k1 = idx.search(q, 3, ef=32)
+    s2, k2 = idx2.search(q, 3, ef=32)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    # placement survives: adding the same keys routes identically
+    assert (idx2.placement.assign == idx.placement.assign).all()
+
+
+def test_sharded_search_matches_singlechip_recall(mesh8):
+    """The sharded path must reach the same recall class as one
+    single-chip index over the union of the shards (same kernels)."""
+    from duckdb_vss_tpu.models.hnsw import HNSWIndex
+    from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+    rng = np.random.default_rng(5)
+    n, d, k = 6000, 24, 5
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 64, n)]
+            + 0.25 * rng.normal(size=(n, d)).astype(np.float32))
+    keys = np.arange(n, dtype=np.int64)
+    q = (centers[rng.integers(0, 64, 128)]
+         + 0.25 * rng.normal(size=(128, d)).astype(np.float32))
+    v2 = (vecs * vecs).sum(1)
+    gt = np.argsort(v2[None, :] - 2.0 * (q @ vecs.T), 1)[:, :k]
+
+    sh = ShardedHNSWIndex(d, HNSWConfig(), mesh8,
+                          capacity_per_shard=2048, build_batch=128)
+    sh.add(vecs, keys)
+    _, got = sh.search(q, k, ef=48)
+    rec = sum(len(set(a) & set(b))
+              for a, b in zip(got.tolist(), gt.tolist())) / gt.size
+    assert rec > 0.9, rec
