@@ -11,14 +11,18 @@ matching SIFT's low intrinsic dimensionality. Ground truth is exact
 (chunked host matmul).
 
 Baseline: the reference (duckdb_vss) publishes no numbers (BASELINE.md)
-and cannot be built here (no network, no duckdb wheel). vs_baseline uses
-a documented estimate of the reference's single-node SIFT1M top-10 QPS:
-10,000 QPS (usearch-class CPU HNSW, all cores, recall~0.95 — generous to
-the reference; DuckDB adds per-query SQL overhead on top). See
-BASELINE.md for the measurement plan once a reference build is available.
+and cannot be built here (no network, no duckdb wheel). vs_baseline is
+MEASURED on the bench host: native/cpu_hnsw.cpp reproduces the
+reference's hot loop (usearch search_to_find_in_base_, one query per
+thread on all cores, scalar autovectorized distances — simsimd is
+compile-time OFF in the reference) over the SAME graph this engine
+searches, swept to its own cheapest ef meeting the recall target. That
+is generous to the reference (no SQL executor on top). The round-1
+10k-QPS literature estimate is still reported as
+baseline_qps_estimate for continuity.
 
-Env knobs: DVT_BENCH_N (default 1_000_000), DVT_BENCH_Q (default 4096),
-DVT_BENCH_BUILD_BATCH (default 1024).
+Env knobs: DVT_BENCH_N (default 1_000_000), DVT_BENCH_Q (default 16384),
+DVT_BENCH_BUILD_BATCH (default 1024), DVT_BENCH_CPU_Q (default 4096).
 """
 
 import json
@@ -83,6 +87,11 @@ def main():
 
     idx = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=bb,
                     build_expand=2)
+    # ship query batches as bf16 (half the H2D bytes; the tunnel makes
+    # transfer the e2e bound — benchmarks/attribute_search.py). Recall
+    # is measured below against exact ground truth, so the rounding is
+    # accounted for in the reported operating point.
+    idx.query_transfer_dtype = os.environ.get("DVT_QUERY_TRANSFER", "bf16")
     t0 = time.time()
     idx.add(vecs, np.arange(n))
     build_s = time.time() - t0
@@ -90,18 +99,21 @@ def main():
 
     # pick the cheapest ef meeting the recall target (MXU descent, int8
     # neighborhood layout + fused beam kernel are the index defaults;
-    # chunk 8192 amortizes per-dispatch overhead)
-    kw = dict(expand=4, n_seeds=8, chunk=8192)
+    # chunk 8192 amortizes per-dispatch overhead; steps per ef from the
+    # benchmarks/op_sweep.py recall-saturation measurements)
+    steps_of = {16: 6, 24: 8, 32: 10, 48: 16, 64: 24, 96: 32, 128: 40}
     chosen = None
     for ef in (16, 24, 32, 48, 64, 96, 128):
+        kw = dict(expand=4, n_seeds=8, chunk=8192,
+                  max_steps=steps_of.get(ef))
         _, got = idx.search(q[:n_gt], k, ef=ef, **kw)
         r = recall_at_k(got, gt)
         print(f"# ef={ef}: recall@10={r:.4f}", file=sys.stderr, flush=True)
         if r >= TARGET_RECALL:
-            chosen = (ef, r)
+            chosen = (ef, r, kw)
             break
-        chosen = (ef, r)  # keep the best seen even if below target
-    ef, rec = chosen
+        chosen = (ef, r, kw)  # keep the best seen even if below target
+    ef, rec, kw = chosen
 
     # throughput at the chosen operating point (batched, steady state)
     idx.search(q, k, ef=ef, **kw)  # warm
@@ -111,20 +123,71 @@ def main():
         idx.search(q, k, ef=ef, **kw)
     qps = nq * iters / (time.time() - t0)
 
+    # device-resident throughput (queries already in HBM): on production
+    # hardware H2D rides PCIe (~0.5 ms for this batch); in THIS bench
+    # environment the TPU sits behind a shared HTTP tunnel whose
+    # transfer cost dominates e2e (BASELINE.md), so both points are
+    # recorded. The headline stays e2e.
+    import jax as _jax
+    qd = idx.store.prepare_queries(q[:8192])
+    _jax.block_until_ready(qd)
+    out = idx.search_device(qd, k, ef=ef, expand=4,
+                            max_steps=steps_of.get(ef))
+    _jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = idx.search_device(qd, k, ef=ef, expand=4,
+                                max_steps=steps_of.get(ef))
+    _jax.block_until_ready(out)
+    dev_qps = 8192 * iters / (time.time() - t0)
+
+    # measured CPU reference baseline: the reference's scalar search
+    # loop (all cores) over the SAME graph, at ITS cheapest ef meeting
+    # the recall target (see module docstring)
+    cpu_qps, cpu_rec, cpu_ef = None, None, None
+    try:
+        from duckdb_vss_tpu.utils.cpu_baseline import CPUBaseline
+
+        cb = CPUBaseline(idx)
+        n_cpu = int(os.environ.get("DVT_BENCH_CPU_Q", 4096))
+        for cef in (16, 24, 32, 48, 64, 96, 128):
+            ids, _ = cb.search(q[:n_gt], k, ef=cef)
+            r = recall_at_k(ids.astype(np.int64), gt)
+            print(f"# cpu ef={cef}: recall@10={r:.4f}", file=sys.stderr,
+                  flush=True)
+            cpu_rec, cpu_ef = r, cef
+            if r >= TARGET_RECALL:
+                break
+        cb.search(q[:256], k, ef=cpu_ef)  # warm threads
+        _, secs = cb.search(q[:n_cpu], k, ef=cpu_ef)
+        cpu_qps = n_cpu / secs
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"# cpu baseline failed: {e}", file=sys.stderr, flush=True)
+
+    baseline = cpu_qps if cpu_qps else REFERENCE_QPS_ESTIMATE
     result = {
         "metric": "sift1m_shaped_top10_qps_per_chip",
         "value": round(qps, 1),
         "unit": "qps",
-        "vs_baseline": round(qps / REFERENCE_QPS_ESTIMATE, 3),
+        "vs_baseline": round(qps / baseline, 3),
         "recall_at_10": round(rec, 4),
         "ef_search": ef,
+        "device_resident_qps": round(dev_qps, 1),
+        "baseline_qps_measured_cpu": (round(cpu_qps, 1)
+                                      if cpu_qps else None),
+        "baseline_recall_at_10": (round(cpu_rec, 4)
+                                  if cpu_rec is not None else None),
+        "baseline_ef": cpu_ef,
+        "baseline_qps_estimate": REFERENCE_QPS_ESTIMATE,
         "build_vectors_per_s": round(build_vps, 1),
         "build_seconds": round(build_s, 1),
         "n": n,
         "dims": d,
         "query_batch": nq,
-        "notes": ("synthetic SIFT-shaped 1Mx128 clustered; baseline is a "
-                  "documented 10k QPS estimate for the CPU reference"),
+        "notes": ("synthetic SIFT-shaped 1Mx128 clustered; baseline "
+                  "MEASURED: usearch-style scalar CPU search loop "
+                  "(native/cpu_hnsw.cpp, all cores, no SQL overhead) "
+                  "over the same graph at matching recall"),
         "gen_seconds": round(gen_s, 1),
         "gt_seconds": round(gt_s, 1),
     }

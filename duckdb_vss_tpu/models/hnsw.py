@@ -455,9 +455,11 @@ class HNSWIndex:
                 pallas_beam=self.use_pallas_beam and nv is not None,
                 upper_nodes=unode),
                 min(chunk, b - off)))
+        # one device_get for every chunk's results (a fetch per chunk
+        # costs a full tunnel round trip each)
+        fetched = jax.device_get([o for o, _ in outs])
         scores_list, keys_list, nd_total = [], [], 0
-        for (scores, slots, nd), nb in outs:
-            scores_np, slots_np, nd_np = jax.device_get((scores, slots, nd))
+        for (scores_np, slots_np, nd_np), (_, nb) in zip(fetched, outs):
             nd_total += int(nd_np)
             slots_np = slots_np[:nb]
             keys = np.where(
@@ -469,7 +471,8 @@ class HNSWIndex:
         return (np.concatenate(scores_list), np.concatenate(keys_list))
 
     def search_device(self, queries_padded: jax.Array, k: int,
-                      ef: int | None = None, expand: int = 4):
+                      ef: int | None = None, expand: int = 4,
+                      max_steps: int | None = None):
         """Device-resident search: returns (scores, slots, n_dist)."""
         self._ensure_loaded()
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
@@ -482,8 +485,9 @@ class HNSWIndex:
         return _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
             self.store._valid, queries_padded, int(k), ef_eff, self.metric,
-            expand, traversal_vectors=(self._traversal_vectors()
-                                       if want_trav else None),
+            expand, max_steps=max_steps,
+            traversal_vectors=(self._traversal_vectors()
+                               if want_trav else None),
             descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,
             aug_table=(None if nv is not None else self._aug_table()),
             nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,

@@ -44,7 +44,8 @@ from duckdb_vss_tpu.utils.config import MetricKind
 from duckdb_vss_tpu.utils.padding import INF_SCORE
 
 _EPS = 1e-30
-TB = 64  # query rows per grid program
+import os as _os
+TB = int(_os.environ.get("DVT_BEAM_TB", "64"))  # query rows per program
 _ABLATE = None  # debug ablations: "noread" | "nomerge" | "nodma" |
 # "noscore" | "nodedup"
 
@@ -250,17 +251,19 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
         sel_valid = (e_of_c == 0) & oks[0][:, None]
         for e in range(1, expand):
             sel_valid = sel_valid | ((e_of_c == e) & oks[e][:, None])
-        valid = (nbr >= 0) & sel_valid
-        if _ABLATE == "nodedup":
-            keep = valid
-        else:
+        keep = (nbr >= 0) & sel_valid
+        if _ABLATE != "nodedup":
+            # dedup via broadcast masks: a few big VPU ops beat the
+            # log-depth id-sort network tried in round 2 (measured
+            # +3ms/8192 queries — small sequential network stages are
+            # op-issue-bound on the VPU, wide compares are not)
             in_beam = jnp.any(nbr[:, :, None] == beam_i[:, None, :], axis=2)
             lo = lax.broadcasted_iota(jnp.int32, (c, c), 0)
             hi = lax.broadcasted_iota(jnp.int32, (c, c), 1)
             upper = (lo < hi)[None]  # strict upper triangle
             dup_new = jnp.any(
                 (nbr[:, :, None] == nbr[:, None, :]) & upper, axis=1)
-            keep = valid & ~in_beam & ~dup_new
+            keep = keep & ~in_beam & ~dup_new
         s_new = jnp.where(keep, s_new, INF_SCORE)
         nd_acc[0, 0] += jnp.sum(keep.astype(jnp.int32))
 
@@ -282,6 +285,7 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
             cand_i = jnp.concatenate(
                 [cand_i, jnp.full((TB, c_pow - c), -1, jnp.int32)], axis=1)
         cs, (ci,) = _bitonic_sort(s_new, [cand_i], ascending=False)
+        ce = jnp.zeros((TB, c_pow), jnp.int32)
         p_tot = 1 << (ef + c_pow - 1).bit_length()
         mid = p_tot - ef - c_pow
         pool_s = jnp.concatenate(
@@ -293,7 +297,9 @@ def _kernel(q_ref, qsq_ref, seed_s_ref, seed_i_ref,
             + ([jnp.full((TB, mid), -1, jnp.int32)] if mid else [])
             + [ci], axis=1)
         pool_e = jnp.concatenate(
-            [beam_e, jnp.zeros((TB, p_tot - ef), jnp.int32)], axis=1)
+            [beam_e]
+            + ([jnp.zeros((TB, mid), jnp.int32)] if mid else [])
+            + [ce], axis=1)
         pool_s, (pool_i, pool_e) = _bitonic_merge_asc(
             pool_s, [pool_i, pool_e])
         new_s = pool_s[:, :ef]

@@ -1,0 +1,107 @@
+"""Measured CPU reference baseline: scalar usearch-style HNSW search
+(native/cpu_hnsw.cpp) over THIS engine's graph, one query per thread on
+all cores — the reference extension's execution model
+(hnsw_index.cpp:301-309, one search per scheduler thread; scalar
+autovectorized distance loops, simsimd default OFF).
+
+bench.py uses this to ground vs_baseline in a measurement on the bench
+host instead of round 1's documented 10k-QPS estimate."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+
+class _Graph(ctypes.Structure):
+    _fields_ = [
+        ("vectors", ctypes.c_void_p),
+        ("nbr0", ctypes.c_void_p),
+        ("upper", ctypes.c_void_p),
+        ("upper_slot", ctypes.c_void_p),
+        ("valid", ctypes.c_void_p),
+        ("cap", ctypes.c_int64),
+        ("cap_u", ctypes.c_int64),
+        ("d_pad", ctypes.c_int32),
+        ("dims", ctypes.c_int32),
+        ("m0", ctypes.c_int32),
+        ("levels", ctypes.c_int32),
+        ("m", ctypes.c_int32),
+        ("entry_node", ctypes.c_int32),
+        ("max_level", ctypes.c_int32),
+    ]
+
+
+_LIB = None
+
+
+def get_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "libcpu_hnsw.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.cpu_hnsw_search_batch.restype = ctypes.c_double
+    lib.cpu_hnsw_search_batch.argtypes = [
+        ctypes.POINTER(_Graph), ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+class CPUBaseline:
+    """Host-resident copy of an HNSWIndex's graph + scalar search."""
+
+    def __init__(self, index):
+        import jax
+
+        index._ensure_loaded()
+        g = index.graph
+        st = index.store
+        self.vectors = np.ascontiguousarray(jax.device_get(st._vectors))
+        self.nbr0 = np.ascontiguousarray(jax.device_get(g.neighbors0))
+        self.upper = np.ascontiguousarray(jax.device_get(g.upper_neighbors))
+        self.upper_slot = np.ascontiguousarray(
+            jax.device_get(g.upper_slot))
+        self.valid = np.ascontiguousarray(
+            np.asarray(jax.device_get(st._valid)).astype(np.uint8))
+        self.dims = st.dims
+        self.d_pad = st.d_pad
+        self.keys = st._keys
+        self._g = _Graph(
+            vectors=self.vectors.ctypes.data,
+            nbr0=self.nbr0.ctypes.data,
+            upper=self.upper.ctypes.data,
+            upper_slot=self.upper_slot.ctypes.data,
+            valid=self.valid.ctypes.data,
+            cap=self.vectors.shape[0],
+            cap_u=self.upper.shape[0],
+            d_pad=self.d_pad,
+            dims=self.dims,
+            m0=self.nbr0.shape[1],
+            levels=self.upper.shape[1],
+            m=self.upper.shape[2],
+            entry_node=int(jax.device_get(g.entry_node)),
+            max_level=int(jax.device_get(g.max_level)),
+        )
+
+    def search(self, queries: np.ndarray, k: int, ef: int,
+               n_threads: int = 0):
+        """Returns (ids [B, k] slot ids, seconds). n_threads=0 = all."""
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("libcpu_hnsw.so not built (make -C native)")
+        q = np.zeros((len(queries), self.d_pad), np.float32)
+        q[:, : self.dims] = np.asarray(queries, np.float32)[:, : self.dims]
+        out = np.empty((len(queries), k), np.int32)
+        secs = lib.cpu_hnsw_search_batch(
+            ctypes.byref(self._g), q.ctypes.data, len(q), k, ef,
+            n_threads, out.ctypes.data, None)
+        return out, float(secs)
