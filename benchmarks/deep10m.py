@@ -1,0 +1,115 @@
+"""Config 5 scale validation: 10M x FLOAT[96] (Deep10M-shaped) build +
+top-10 search on one chip (BASELINE.json config #5's single-chip leg;
+the multi-host leg is validated structurally on the virtual mesh —
+tests/test_sharded.py + __graft_entry__.dryrun_multichip).
+
+Memory story at this scale (16 GB HBM v5e):
+  f32 store 10M x 128pad        5.1 GB   (resident)
+  bf16 traversal copy           2.6 GB   (resident; beam gathers)
+  base adjacency 10M x 32 i32   1.3 GB
+  upper tables                  ~0.7 GB
+  int8 neighborhood table      41   GB   -> DOES NOT FIT: the layout
+  auto-gate (DVT_NBR_BUDGET_GB) disables it and search rides the XLA
+  beam over bf16 gathers. Sharding the table 8-way (5 GB/shard) restores
+  the fused-kernel path on a pod — that is the config-5 multi-host plan.
+
+Prints one JSON line. Env: DVT_DEEP_N (default 10_000_000).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from duckdb_vss_tpu import HNSWConfig
+from duckdb_vss_tpu.models.hnsw import HNSWIndex
+
+
+def main():
+    n = int(os.environ.get("DVT_DEEP_N", 10_000_000))
+    d, k, nq = 96, 10, 8192
+    rng = np.random.default_rng(77)
+    n_centers = 8192
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    t0 = time.time()
+    vecs = np.empty((n, d), np.float32)
+    chunk = 500_000
+    for off in range(0, n, chunk):
+        m = min(chunk, n - off)
+        asg = rng.integers(0, n_centers, m)
+        vecs[off:off + m] = (centers[asg]
+                             + 0.25 * rng.normal(size=(m, d)).astype(
+                                 np.float32))
+    q = (centers[rng.integers(0, n_centers, nq)]
+         + 0.25 * rng.normal(size=(nq, d)).astype(np.float32))
+    gen_s = time.time() - t0
+    print(f"# gen: {gen_s:.0f}s", file=sys.stderr, flush=True)
+
+    # exact ground truth for 512 queries (host matmul, chunked over rows)
+    n_gt = 512
+    t0 = time.time()
+    best_d = np.full((n_gt, k), np.inf, np.float32)
+    best_i = np.full((n_gt, k), -1, np.int64)
+    qg = q[:n_gt]
+    for off in range(0, n, chunk):
+        blk = vecs[off:off + chunk]
+        d2 = (blk * blk).sum(1)[None, :] - 2.0 * (qg @ blk.T)
+        cat_d = np.concatenate([best_d, d2], axis=1)
+        cat_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(off, off + len(blk)),
+                                     (n_gt, len(blk)))], axis=1)
+        pos = np.argpartition(cat_d, k, axis=1)[:, :k]
+        best_d = np.take_along_axis(cat_d, pos, axis=1)
+        best_i = np.take_along_axis(cat_i, pos, axis=1)
+    order = np.argsort(best_d, axis=1)
+    gt = np.take_along_axis(best_i, order, axis=1)
+    gt_s = time.time() - t0
+    print(f"# gt: {gt_s:.0f}s", file=sys.stderr, flush=True)
+
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n)
+    idx.query_transfer_dtype = "bf16"
+    t0 = time.time()
+    idx.add(vecs, np.arange(n))
+    build_s = time.time() - t0
+    print(f"# build: {build_s:.0f}s ({n / build_s:.0f} vec/s)",
+          file=sys.stderr, flush=True)
+
+    def recall(got):
+        return float(np.mean([len(set(a) & set(b)) / k for a, b in
+                              zip(got[:n_gt].tolist(), gt.tolist())]))
+
+    chosen = None
+    for ef in (16, 32, 48, 64, 96, 128):
+        _, got = idx.search(q[:n_gt], k, ef=ef, chunk=8192)
+        r = recall(got)
+        print(f"# ef={ef}: recall@10={r:.4f}", file=sys.stderr, flush=True)
+        chosen = (ef, r)
+        if r >= 0.95:
+            break
+    ef, rec = chosen
+    idx.search(q, k, ef=ef, chunk=8192)  # warm
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        idx.search(q, k, ef=ef, chunk=8192)
+    qps = nq * iters / (time.time() - t0)
+    print(json.dumps({
+        "metric": "deep10m_shaped_top10_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "recall_at_10": round(rec, 4),
+        "ef_search": ef,
+        "build_seconds": round(build_s, 1),
+        "build_vectors_per_s": round(n / build_s, 1),
+        "n": n, "dims": d,
+        "layout": "flat-bf16 (int8 neighborhood table exceeds 1-chip "
+                  "HBM at 10M; sharded 8-way it fits 5 GB/shard)",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
