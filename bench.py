@@ -129,17 +129,16 @@ def main():
     # transfer cost dominates e2e (BASELINE.md), so both points are
     # recorded. The headline stays e2e.
     import jax as _jax
+
+    from duckdb_vss_tpu.utils.timing import device_time
+
     qd = idx.store.prepare_queries(q[:8192])
     _jax.block_until_ready(qd)
-    out = idx.search_device(qd, k, ef=ef, expand=4,
-                            max_steps=steps_of.get(ef))
-    _jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = idx.search_device(qd, k, ef=ef, expand=4,
-                                max_steps=steps_of.get(ef))
-    _jax.block_until_ready(out)
-    dev_qps = 8192 * iters / (time.time() - t0)
+    secs = device_time(
+        lambda: idx.search_device(qd, k, ef=ef, expand=4,
+                                  max_steps=steps_of.get(ef)),
+        iters=10)
+    dev_qps = 8192 / secs
 
     # measured CPU reference baseline: the reference's scalar search
     # loop (all cores) over the SAME graph, at ITS cheapest ef meeting

@@ -32,15 +32,12 @@ from duckdb_vss_tpu.utils.config import MetricKind
 from duckdb_vss_tpu.utils.padding import INF_SCORE
 
 
+from duckdb_vss_tpu.utils.timing import device_time
+
+
 def timeit(fn, *args, iters=10, warm=2):
-    for _ in range(warm):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    # completion-barriered (utils/timing.py)
+    return device_time(fn, *args, iters=iters, warm=warm) * 1e3  # ms
 
 
 def main():

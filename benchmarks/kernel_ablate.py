@@ -23,15 +23,12 @@ from duckdb_vss_tpu.ops import pallas_beam as PB
 from duckdb_vss_tpu.utils.config import MetricKind
 
 
+from duckdb_vss_tpu.utils.timing import device_time
+
+
 def bench(fn, iters=10, warm=2):
-    for _ in range(warm):
-        out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    # completion-barriered (utils/timing.py)
+    return device_time(fn, iters=iters, warm=warm) * 1e3
 
 
 def main():

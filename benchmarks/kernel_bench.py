@@ -17,14 +17,12 @@ from duckdb_vss_tpu.ops.pallas_gather import gather_scores_pallas
 from duckdb_vss_tpu.utils.config import MetricKind
 
 
+from duckdb_vss_tpu.utils.timing import device_time
+
+
 def bench(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    # completion-barriered (utils/timing.py)
+    return device_time(fn, *args, iters=iters, warm=1)
 
 
 def main():

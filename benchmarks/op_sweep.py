@@ -17,6 +17,7 @@ import numpy as np
 from duckdb_vss_tpu import HNSWConfig
 from duckdb_vss_tpu.models.hnsw import HNSWIndex
 from duckdb_vss_tpu.utils import persist
+from duckdb_vss_tpu.utils.timing import device_time
 
 
 def main():
@@ -70,18 +71,16 @@ def main():
                 idx.search(q, k, ef=ef, expand=expand, max_steps=steps,
                            chunk=8192)
             e2e = nq * iters / (time.perf_counter() - t0)
-            # device-resident timing
+            # device-resident timing (completion-barriered; plain
+            # block_until_ready returns at dispatch on this backend —
+            # utils/timing.py)
             qd = idx.store.prepare_queries(q)
             jax.block_until_ready(qd)
-            out = idx.search_device(qd, k, ef=ef, expand=expand,
-                                    max_steps=steps)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = idx.search_device(qd, k, ef=ef, expand=expand,
-                                        max_steps=steps)
-            jax.block_until_ready(out)
-            dev = nq * iters / (time.perf_counter() - t0)
+            secs = device_time(
+                lambda: idx.search_device(qd, k, ef=ef, expand=expand,
+                                          max_steps=steps),
+                iters=max(iters, 8))
+            dev = nq / secs
             print(f"ef={ef:3d} expand={expand} steps={steps:2d}: "
                   f"recall@10={r:.4f} e2e={e2e / 1e3:7.1f}k "
                   f"dev={dev / 1e3:7.1f}k QPS", flush=True)

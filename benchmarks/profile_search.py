@@ -36,13 +36,14 @@ def _sync(out):
 
 
 def timed(label, fn, *args, iters=10):
+    # one completion fetch at the END of the dispatch train, rtt
+    # subtracted — fetching inside the loop inflates every op by the
+    # ~26 ms tunnel round trip (utils/timing.py)
+    from duckdb_vss_tpu.utils.timing import device_time
+
     out = fn(*args)
     _sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        _sync(out)
-    dt = (time.time() - t0) / iters
+    dt = device_time(fn, *args, iters=iters, warm=0)
     print(f"{label:55s} {dt*1e3:9.2f} ms", flush=True)
     return dt
 

@@ -15,7 +15,6 @@ Usage: python benchmarks/roofline.py [N] [B]
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,6 +27,7 @@ from duckdb_vss_tpu.models.hnsw import HNSWIndex
 from duckdb_vss_tpu.models import graph as G
 from duckdb_vss_tpu.utils import persist
 from duckdb_vss_tpu.utils.config import MetricKind
+from duckdb_vss_tpu.utils.timing import device_time
 
 PEAK_TFLOPS_BF16 = float(os.environ.get("DVT_PEAK_TFLOPS", 197.0))
 PEAK_TOPS_INT8 = 2 * PEAK_TFLOPS_BF16
@@ -35,14 +35,9 @@ PEAK_GBPS = float(os.environ.get("DVT_PEAK_GBPS", 819.0))
 
 
 def timeit(fn, iters=10, warm=2):
-    for _ in range(warm):
-        out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # completion-barriered (block_until_ready returns at dispatch on the
+    # tunneled backend — utils/timing.py)
+    return device_time(fn, iters=iters, warm=warm)
 
 
 def report(rows, name, secs, flops, bytes_, peak_tflops=PEAK_TFLOPS_BF16):

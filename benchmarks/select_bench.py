@@ -13,7 +13,6 @@ Usage: python benchmarks/select_bench.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,15 +24,11 @@ import numpy as np
 from jax import lax
 
 
+from duckdb_vss_tpu.utils.timing import device_time
+
+
 def bench(fn, *args, iters=10, warm=2):
-    for _ in range(warm):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return device_time(fn, *args, iters=iters, warm=warm) * 1e3
 
 
 def main():

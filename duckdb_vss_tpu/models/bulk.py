@@ -395,7 +395,10 @@ def _build_upper_levels(
 
     def _mark(label):
         if _trace:
-            jax.block_until_ready(jnp.zeros(()) + 0)
+            # drain the device queue for a real phase boundary
+            # (block_until_ready returns at dispatch on the tunneled
+            # backend — utils/timing.py)
+            jax.device_get(jnp.zeros((), jnp.int32))
             now = _time2.time()
             print(f"#   upper {label}: {now - _t[0]:.1f}s", flush=True)
             _t[0] = now
@@ -495,9 +498,10 @@ def bulk_build(
     def _mark(phase):
         nonlocal _t0
         if trace:
-            # device queue is in-order: syncing a fresh trivial op drains
-            # everything enqueued by the finished phase
-            jax.block_until_ready(jnp.zeros(()) + 0)
+            # device queue is in-order: fetching a fresh trivial op
+            # drains everything enqueued by the finished phase
+            # (block_until_ready returns at dispatch — utils/timing.py)
+            jax.device_get(jnp.zeros((), jnp.int32))
             now = _time.time()
             print(f"# bulk_build {phase}: {now - _t0:.1f}s", flush=True)
             _t0 = now
