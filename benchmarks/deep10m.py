@@ -3,17 +3,25 @@ top-10 search on one chip (BASELINE.json config #5's single-chip leg;
 the multi-host leg is validated structurally on the virtual mesh —
 tests/test_sharded.py + __graft_entry__.dryrun_multichip).
 
-Memory story at this scale (16 GB HBM v5e):
-  f32 store 10M x 128pad        5.1 GB   (resident)
-  bf16 traversal copy           2.6 GB   (resident; beam gathers)
-  base adjacency 10M x 32 i32   1.3 GB
-  upper tables                  ~0.7 GB
-  int8 neighborhood table      41   GB   -> DOES NOT FIT: the layout
+Memory story at this scale (16 GB HBM v5e), scalar_kind="bf16" (the
+lean storage mode, usearch scalar-cast analog — models/flat.py):
+  bf16 store 12.58Mcap x 128pad  3.2 GB  (resident; IS the traversal
+                                          table — no separate copy)
+  base adjacency cap x 32 i32    1.6 GB
+  upper tables                   ~0.4 GB
+  build temporaries (knn lists   ~4.3 GB peak (DVT_BUILD_KNN_K=32)
+    [cap,32] ids+scores, rev, IVF chunk scores)
+  int8 neighborhood table       41   GB  -> DOES NOT FIT: the layout
   auto-gate (DVT_NBR_BUDGET_GB) disables it and search rides the XLA
-  beam over bf16 gathers. Sharding the table 8-way (5 GB/shard) restores
-  the fused-kernel path on a pod — that is the config-5 multi-host plan.
+  beam over the bf16 store. Sharding the table 8-way (5 GB/shard)
+  restores the fused-kernel path on a pod — the config-5 multi-host
+  plan. An f32 store (5.1 GB + separate bf16 traversal copy 2.6 GB)
+  also fits at rest but leaves no headroom for the build temporaries;
+  bf16 rounding costs ~2^-8 relative on emitted distances and is
+  absorbed by the measured-recall operating point.
 
-Prints one JSON line. Env: DVT_DEEP_N (default 10_000_000).
+Prints one JSON line. Env: DVT_DEEP_N (default 10_000_000),
+DVT_DEEP_SCALAR (default bf16).
 """
 
 import json
@@ -70,7 +78,9 @@ def main():
     gt_s = time.time() - t0
     print(f"# gt: {gt_s:.0f}s", file=sys.stderr, flush=True)
 
-    idx = HNSWIndex(d, HNSWConfig(), capacity=n)
+    scalar = os.environ.get("DVT_DEEP_SCALAR", "bf16")
+    os.environ.setdefault("DVT_BUILD_KNN_K", "32")
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n, scalar_kind=scalar)
     idx.query_transfer_dtype = "bf16"
     t0 = time.time()
     idx.add(vecs, np.arange(n))
@@ -106,8 +116,9 @@ def main():
         "build_seconds": round(build_s, 1),
         "build_vectors_per_s": round(n / build_s, 1),
         "n": n, "dims": d,
-        "layout": "flat-bf16 (int8 neighborhood table exceeds 1-chip "
-                  "HBM at 10M; sharded 8-way it fits 5 GB/shard)",
+        "layout": f"scalar_kind={scalar} store (int8 neighborhood table "
+                  "exceeds 1-chip HBM at 10M; sharded 8-way it fits "
+                  "5 GB/shard)",
     }), flush=True)
 
 

@@ -58,6 +58,11 @@ IVF_CAND_MAX = 49_152
 IVF_QB = 4096  # query rows per chunk (sorted-order, cluster-coherent)
 IVF_KMEANS_ITERS = 4
 IVF_ASSIGN_CHUNK = 65_536
+# reverse-candidate source cap (see bulk_build phase 2): above this many
+# flattened forward edges, only the closest REV_SRC_COLS ranks per node
+# feed the reverse lists
+REV_SRC_MAX = 128 * 1024 * 1024
+REV_SRC_COLS = 12
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
@@ -225,8 +230,10 @@ def _kmeans_pass(vectors, vec_sq, slot_chunks, centers, normalize):
         asg = jnp.argmin(d2, axis=1).astype(jnp.int32)
         live = sl >= 0
         row = jnp.where(live, asg, c)  # drop pads
+        # f32 accumulation regardless of store scalar_kind
+        x32 = x.astype(jnp.float32)
         sums = sums.at[row].add(
-            jnp.where(live[:, None], x, 0.0), mode="drop")
+            jnp.where(live[:, None], x32, 0.0), mode="drop")
         counts = counts.at[row].add(live.astype(jnp.int32), mode="drop")
         return (sums, counts), asg
 
@@ -338,7 +345,8 @@ def _ivf_knn_sweep(vectors, vectors_bf, vec_sq, slots, knn_k, metric):
     slot_chunks[:n] = slots
     slot_chunks_j = jnp.asarray(slot_chunks.reshape(-1, ab))
     init_idx = np.linspace(0, n - 1, c).astype(np.int64)
-    centers = jnp.take(vectors, jnp.asarray(slots[init_idx]), axis=0)
+    centers = jnp.take(vectors, jnp.asarray(slots[init_idx]),
+                       axis=0).astype(jnp.float32)
     if normalize:
         csq = jnp.sum(centers * centers, axis=1)
         centers = centers * jax.lax.rsqrt(
@@ -570,7 +578,17 @@ def bulk_build(
 
     _mark("phase1_knn_sweep")
     # ---- 2. reverse candidates + diversity prune to M0 --------------
-    rev = _reverse_candidates(knn_ids_j, knn_sc_j, rev_r)  # [cap, rev_r]
+    # the rank-within-target grouping argsorts over cap*K flattened
+    # edges (~6 int32 temporaries of that length); above REV_SRC_MAX
+    # edges only the closest REV_SRC_COLS forward ranks contribute
+    # reverse candidates — far forward edges almost never survive the
+    # target's diversity prune anyway, and the cap keeps the 10M-row
+    # build inside one chip's HBM
+    rev_cols = knn_ids_j.shape[1]
+    if cap * rev_cols > REV_SRC_MAX:
+        rev_cols = max(rev_r, REV_SRC_COLS)
+    rev = _reverse_candidates(
+        knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
     for off in range(0, n, prune_chunk):
         chunk = slots_j[off : off + prune_chunk]

@@ -9,13 +9,25 @@ Replaces two things from the reference with one TPU-native structure:
   index_dense.hpp:380-385) with its key<->slot maps and deleted-slot
   free-list ring (index_dense.hpp:422-435).
 
-Layout: one dense [capacity, D_pad] f32 block in HBM plus per-slot squared
+Layout: one dense [capacity, D_pad] block in HBM plus per-slot squared
 norms (cached for the matmul-expansion distance epilogue), a validity mask
 (deletes are tombstones, searched-around exactly like usearch's free_key_
 predicate, index_dense.hpp:1797-1827), and an int64 slot->key table.
-Capacity grows by powers of two, mirroring the reference's optimistic
-resize (/root/reference/src/hnsw/hnsw_index.cpp:410-431); power-of-two
-capacities keep the set of distinct jit shapes bounded.
+Capacity grows by buckets (powers of two, plus 1.5x-power-of-two at
+scale — utils/padding.round_up_capacity), mirroring the reference's
+optimistic resize (/root/reference/src/hnsw/hnsw_index.cpp:410-431)
+while keeping the set of distinct jit shapes bounded.
+
+scalar_kind selects the on-device storage precision — "f32" (default,
+exact parity with the reference's FLOAT-only SCALAR_KIND_MAP,
+hnsw_index.cpp:247-260) or "bf16" (half the HBM and half the H2D
+bytes; the memory mode for 10M-scale single-chip stores). This is the
+TPU analog of usearch's scalar casts (index_dense.hpp:363-375,
+b1x8/i8/f16/f32/f64), which the reference extension compiles in but
+never exposes. Squared norms are always f32, computed from the
+rounded stored values so the matmul-expansion identity stays
+internally consistent; distances emitted from a bf16 store carry
+~2^-8 relative rounding.
 """
 
 from __future__ import annotations
@@ -28,7 +40,8 @@ import numpy as np
 
 from duckdb_vss_tpu.ops.topk import flat_topk
 from duckdb_vss_tpu.utils.config import MetricKind
-from duckdb_vss_tpu.utils.padding import INF_SCORE, pad_2d_np, pad_dim, round_up
+from duckdb_vss_tpu.utils.padding import (INF_SCORE, pad_2d_np, pad_dim,
+                                           round_up, round_up_capacity)
 
 MIN_CAPACITY = 1024
 DEFAULT_BLOCK_N = 16384
@@ -48,11 +61,17 @@ class FlatIndex:
     """Mutable flat index over row-keyed float vectors."""
 
     def __init__(self, dims: int, metric: MetricKind = MetricKind.L2SQ,
-                 capacity: int = MIN_CAPACITY, defer_alloc: bool = False):
+                 capacity: int = MIN_CAPACITY, defer_alloc: bool = False,
+                 scalar_kind: str = "f32"):
         self.dims = int(dims)
         self.d_pad = pad_dim(self.dims)
         self.metric = metric
-        self.capacity = max(MIN_CAPACITY, 1 << (int(capacity) - 1).bit_length())
+        if scalar_kind not in ("f32", "bf16"):
+            raise ValueError(
+                f"scalar_kind must be f32 or bf16, got {scalar_kind!r}")
+        self.scalar_kind = scalar_kind
+        self._dtype = jnp.bfloat16 if scalar_kind == "bf16" else jnp.float32
+        self.capacity = round_up_capacity(capacity)
         if defer_alloc:
             # deferred load (persist.load_index lazy path): device arrays
             # are filled by the loader on first access — no device memory
@@ -63,7 +82,7 @@ class FlatIndex:
             self._valid = None
         else:
             self._vectors = jnp.zeros((self.capacity, self.d_pad),
-                                      jnp.float32)
+                                      self._dtype)
             self._vec_sq = jnp.zeros((self.capacity,), jnp.float32)
             self._valid = jnp.zeros((self.capacity,), jnp.bool_)
         # slot -> key map lives host-side: rowids are 64-bit and the mapping
@@ -81,10 +100,10 @@ class FlatIndex:
         exclusive-lock resize (/root/reference/src/hnsw/hnsw_index.cpp:410-431)."""
         if n <= self.capacity:
             return
-        new_cap = 1 << (int(n) - 1).bit_length()
+        new_cap = round_up_capacity(n)
         pad = new_cap - self.capacity
         self._vectors = jnp.concatenate(
-            [self._vectors, jnp.zeros((pad, self.d_pad), jnp.float32)])
+            [self._vectors, jnp.zeros((pad, self.d_pad), self._dtype)])
         self._vec_sq = jnp.concatenate([self._vec_sq, jnp.zeros((pad,), jnp.float32)])
         self._valid = jnp.concatenate([self._valid, jnp.zeros((pad,), jnp.bool_)])
         self._keys = np.concatenate([self._keys, np.full((pad,), -1, np.int64)])
@@ -117,19 +136,32 @@ class FlatIndex:
         if self.size == 0 and n_reuse == 0 and slots[0] == 0:
             # bulk load into an empty index: build the device arrays straight
             # from host buffers (no scatter, no full-array device copy)
-            host_vec = np.zeros((self.capacity, self.d_pad), np.float32)
-            host_vec[:n] = vec_pad
-            self._vectors = jnp.asarray(host_vec)
-            self._vec_sq = jnp.asarray((host_vec * host_vec).sum(-1))
+            if self.scalar_kind == "bf16":
+                import ml_dtypes
+
+                host_vec = np.zeros((self.capacity, self.d_pad),
+                                    ml_dtypes.bfloat16)
+                host_vec[:n] = vec_pad.astype(ml_dtypes.bfloat16)
+                rounded = host_vec[:n].astype(np.float32)
+                sq = np.zeros((self.capacity,), np.float32)
+                sq[:n] = (rounded * rounded).sum(-1)
+                self._vectors = jnp.asarray(host_vec)
+                self._vec_sq = jnp.asarray(sq)
+            else:
+                host_vec = np.zeros((self.capacity, self.d_pad), np.float32)
+                host_vec[:n] = vec_pad
+                self._vectors = jnp.asarray(host_vec)
+                self._vec_sq = jnp.asarray((host_vec * host_vec).sum(-1))
             valid_np = np.zeros((self.capacity,), np.bool_)
             valid_np[:n] = True
             self._valid = jnp.asarray(valid_np)
         else:
             slots_j = jnp.asarray(slots, jnp.int32)
-            vec_j = jnp.asarray(vec_pad)
+            vec_j = jnp.asarray(vec_pad).astype(self._dtype)
+            vec_f32 = vec_j.astype(jnp.float32)
             self._vectors = self._vectors.at[slots_j].set(vec_j)
             self._vec_sq = self._vec_sq.at[slots_j].set(
-                jnp.sum(vec_j * vec_j, axis=-1))
+                jnp.sum(vec_f32 * vec_f32, axis=-1))
             self._valid = self._valid.at[slots_j].set(True)
         self._keys[slots] = keys
         self.size += n
@@ -159,8 +191,8 @@ class FlatIndex:
         live = np.nonzero(valid)[0]
         perm = jnp.asarray(live, jnp.int32)
         n_live = len(live)
-        new_cap = max(MIN_CAPACITY, 1 << max(n_live - 1, 0).bit_length())
-        vecs = jnp.zeros((new_cap, self.d_pad), jnp.float32)
+        new_cap = round_up_capacity(max(n_live, 1))
+        vecs = jnp.zeros((new_cap, self.d_pad), self._dtype)
         self._vectors = vecs.at[: n_live].set(self._vectors[perm])
         self._vec_sq = jnp.zeros((new_cap,), jnp.float32).at[:n_live].set(
             self._vec_sq[perm])
@@ -234,7 +266,7 @@ class FlatIndex:
 
     def get_vector(self, key: int) -> np.ndarray:
         slot = self._key_to_slot[int(key)]
-        return np.asarray(self._vectors[slot, : self.dims])
+        return np.asarray(self._vectors[slot, : self.dims], np.float32)
 
     def __len__(self) -> int:
         return self.size

@@ -241,7 +241,8 @@ def make_aug_queries(
 def _nbr_fill_chunk(table, scales, vectors, vec_sq, nbr_chunk, off):
     """Quantize one chunk of neighborhoods into the donated tables."""
     safe = jnp.maximum(nbr_chunk, 0)  # [S, M0]
-    rows = jnp.take(vectors, safe, axis=0)  # [S, M0, D] f32
+    # f32 quantization arithmetic regardless of store scalar_kind
+    rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)  # [S, M0, D]
     absmax = jnp.max(jnp.abs(rows), axis=-1)  # [S, M0]
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q8 = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127

@@ -103,11 +103,17 @@ class HNSWIndex:
         build_expand: int = 2,
         build_prune: str = "diversity",
         traversal_dtype: str | None = None,
+        scalar_kind: str = "f32",
         _defer_alloc: bool = False,  # persist.load_index lazy path
     ):
         self.config = config or HNSWConfig()
+        # scalar_kind="bf16" stores the vectors themselves in bf16 (the
+        # 10M-scale single-chip memory mode; FlatIndex docstring) — the
+        # traversal copy below then aliases the store instead of
+        # duplicating it, and the rerank runs in bf16.
         self.store = FlatIndex(dims, self.config.metric, capacity,
-                               defer_alloc=_defer_alloc)
+                               defer_alloc=_defer_alloc,
+                               scalar_kind=scalar_kind)
         # reduced-precision traversal copy of the vector store (usearch's
         # scalar-cast layer, index_dense.hpp:363-375, recast TPU-side:
         # beam scoring gathers bf16 rows — half the HBM bytes — while the
@@ -202,6 +208,9 @@ class HNSWIndex:
     def _traversal_vectors(self) -> jax.Array | None:
         """Plain bf16 traversal copy for the beam-descent path, rebuilt
         lazily after store mutations."""
+        if self.store.scalar_kind == "bf16":
+            # the store IS the reduced-precision table; no copy
+            return self.store._vectors
         if self.traversal_dtype == "f32":
             return None
         if (self._trav_cache is None
@@ -333,10 +342,17 @@ class HNSWIndex:
                 on_progress(0.0)
             _mark("pre_bulk")
             bstats: dict = {}
+            from duckdb_vss_tpu.models.bulk import KNN_K as _KNN_K
+
+            # DVT_BUILD_KNN_K trims the candidate-list width (the [cap, K]
+            # knn tables are the bulk build's largest temporaries — at 10M
+            # rows K=48 costs 4.8 GB; K=32 is the config-5 memory plan)
+            knn_k = int(_os2.environ.get("DVT_BUILD_KNN_K", _KNN_K))
             self.graph = bulk_build(
                 self.store._vectors, self.store._vec_sq,
                 np.asarray(slots, np.int32), levels, self.config,
-                self.metric, host_vectors=vectors, stats_out=bstats)
+                self.metric, knn_k=knn_k, host_vectors=vectors,
+                stats_out=bstats)
             _mark("bulk_build")
             # actual work done (IVF-pruned sweeps do ~1/30 of the exact
             # n*capacity cost the round-1 estimate claimed)

@@ -44,7 +44,13 @@ def dot_scores(
     bf16-decomposed pass, which breaks exact row-order parity with the
     reference's scalar f32 kernels. Search paths that trade exactness for
     throughput (HNSW traversal) pass precision=DEFAULT explicitly.
+
+    Mixed dtypes (a bf16 scalar_kind store scored against f32 queries)
+    run in the STORE's dtype: queries are cast down rather than the
+    table up, so a lean store never materializes an f32 copy of itself.
     """
+    if queries.dtype != vectors.dtype:
+        queries = queries.astype(vectors.dtype)
     return jax.lax.dot_general(
         queries,
         vectors,

@@ -60,3 +60,21 @@ def pad_2d_np(arr: np.ndarray, n_pad: int, d_pad: int, fill: float = 0.0) -> np.
     out = np.full((n_pad, d_pad), fill, dtype=arr.dtype)
     out[:n, :d] = arr
     return out
+
+
+def round_up_capacity(n: int, minimum: int = 1024) -> int:
+    """Capacity bucket for the vector store: a power of two, or
+    1.5x a power of two for large stores (>= 49152).
+
+    Pure powers of two waste up to 2x HBM at scale (10M rows would
+    allocate 16.8M); the extra 1.5x buckets cap padding waste at ~33%
+    while keeping the program-shape count bounded (every distinct
+    capacity costs a multi-minute remote compile on the TPU backend).
+    All buckets >= 49152 are multiples of 16384, the flat scan's block
+    size."""
+    n = max(int(n), minimum)
+    p2 = 1 << (n - 1).bit_length()
+    p15 = 3 * (p2 // 4)  # 1.5x the next-lower power of two
+    if p15 >= n and p15 >= 49152:
+        return p15
+    return p2

@@ -21,6 +21,18 @@ from duckdb_vss_tpu.utils.config import HNSWConfig, MetricKind
 
 _METRIC_CODE = {MetricKind.L2SQ: 0, MetricKind.COSINE: 1, MetricKind.IP: 2}
 _CODE_METRIC = {v: k for k, v in _METRIC_CODE.items()}
+# on-device storage precision (FlatIndex scalar_kind; usearch
+# scalar_kind_t analog) — header reserved[0]
+_SCALAR_CODE = {"f32": 0, "bf16": 1}
+_CODE_SCALAR = {v: k for k, v in _SCALAR_CODE.items()}
+
+
+def _vec_np_dtype(scalar_kind: str):
+    if scalar_kind == "bf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.float32
 
 
 class _FileHeader(ctypes.Structure):
@@ -131,12 +143,16 @@ def save_index(index, path: str) -> None:
         cap_upper=g.upper_neighbors.shape[0],
         upper_count=int(jax.device_get(g.upper_count)),
     )
+    meta["scalar_kind"] = _SCALAR_CODE[st.scalar_kind]
     extra = dict(next_slot=st._next_slot,
                  free_slots=np.asarray(st._free_slots, np.int64))
     lib = get_lib()
     if lib is None:
         # np.savez appends ".npz" to bare string paths; write through a file
-        # object so the caller's exact path is honored.
+        # object so the caller's exact path is honored. bf16 vectors ride
+        # as a u16 view (npy descr for ml_dtypes does not round-trip).
+        if st.scalar_kind == "bf16":
+            arrays["vectors"] = arrays["vectors"].view(np.uint16)
         with open(path, "wb") as f:
             np.savez(f, __meta__=np.array([list(meta.values())], np.int64),
                      __meta_keys__=np.array(list(meta.keys())),
@@ -145,7 +161,10 @@ def save_index(index, path: str) -> None:
         return
     hdr = _FileHeader()
     for k, v in meta.items():
-        setattr(hdr, k, v)
+        if k == "scalar_kind":
+            hdr.reserved[0] = v
+        else:
+            setattr(hdr, k, v)
     w = lib.vss_writer_open(path.encode(), ctypes.byref(hdr))
     if not w:
         raise PersistError(f"cannot open {path} for writing")
@@ -220,6 +239,7 @@ def _load_native(open_reader, lazy: bool | None, what: str):
         hdr = type("H", (), {
             f: int(getattr(hptr, f)) for f, _ in _FileHeader._fields_
             if f != "reserved"})
+        scalar_kind = _CODE_SCALAR[int(hptr.reserved[0])]
         cap = int(hdr.capacity)
         cap_u = int(hdr.cap_upper)
         d_pad = int(hdr.d_pad)
@@ -261,7 +281,8 @@ def _load_native(open_reader, lazy: bool | None, what: str):
         """Read the device sections into an index (shared by the eager
         path and the deferred materializer)."""
         valid = read("valid", np.uint8, (cap,), rr).astype(bool)
-        vectors = read("vectors", np.float32, (cap, d_pad), rr)
+        vectors = read("vectors", _vec_np_dtype(scalar_kind), (cap, d_pad),
+                       rr)
         neighbors0 = read("neighbors0", np.int32, (cap, m0), rr)
         upper_nbrs = read("upper_nbrs", np.int32, (cap_u, L_MAX, m), rr)
         upper_slot = read("upper_slot", np.int32, (cap,), rr)
@@ -269,7 +290,8 @@ def _load_native(open_reader, lazy: bool | None, what: str):
         levels = read("levels", np.int32, (cap,), rr)
         st = ix.store
         st._vectors = jnp.asarray(vectors)
-        st._vec_sq = jnp.sum(st._vectors * st._vectors, axis=-1)
+        v32 = st._vectors.astype(jnp.float32)
+        st._vec_sq = jnp.sum(v32 * v32, axis=-1)
         st._valid = jnp.asarray(valid)
         ix.graph = GraphState(
             neighbors0=jnp.asarray(neighbors0),
@@ -283,7 +305,7 @@ def _load_native(open_reader, lazy: bool | None, what: str):
         )
 
     idx = HNSWIndex(int(hdr.dims), cfg, capacity=cap,
-                    _defer_alloc=lazy)
+                    scalar_kind=scalar_kind, _defer_alloc=lazy)
     st = idx.store
     st._keys = keys
     st._key_to_slot = {
@@ -320,7 +342,9 @@ def _load_npz(path: str):
     from duckdb_vss_tpu.models.graph import GraphState
     from duckdb_vss_tpu.models.hnsw import HNSWIndex
 
-    npz_path = path if path.endswith(".npz") else path + ".npz"
+    # save_index's fallback writes to the exact path; older callers may
+    # have produced a ".npz"-suffixed file
+    npz_path = path if os.path.exists(path) else path + ".npz"
     if not os.path.exists(npz_path):
         raise PersistError(f"no such checkpoint: {path}")
     z = np.load(npz_path, allow_pickle=False)
@@ -331,10 +355,16 @@ def _load_npz(path: str):
         ef_construction=int(meta["ef_construction"]),
         ef_search=int(meta["ef_search"]), m=int(meta["m"]),
         m0=int(meta["m0"]))
-    idx = HNSWIndex(int(meta["dims"]), cfg, capacity=int(meta["capacity"]))
+    scalar_kind = _CODE_SCALAR[int(meta.get("scalar_kind", 0))]
+    idx = HNSWIndex(int(meta["dims"]), cfg, capacity=int(meta["capacity"]),
+                    scalar_kind=scalar_kind)
     st = idx.store
-    st._vectors = jnp.asarray(z["vectors"])
-    st._vec_sq = jnp.sum(st._vectors * st._vectors, axis=-1)
+    vec_np = z["vectors"]
+    if scalar_kind == "bf16":
+        vec_np = vec_np.view(_vec_np_dtype("bf16"))
+    st._vectors = jnp.asarray(vec_np)
+    v32 = st._vectors.astype(jnp.float32)
+    st._vec_sq = jnp.sum(v32 * v32, axis=-1)
     st._valid = jnp.asarray(z["valid"].astype(bool))
     st._keys = z["keys"].copy()
     st._key_to_slot = {
