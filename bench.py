@@ -130,7 +130,7 @@ def main():
     # recorded. The headline stays e2e.
     import jax as _jax
 
-    from duckdb_vss_tpu.utils.timing import device_time
+    from duckdb_vss_tpu.utils.timing import device_time, measure_rtt
 
     qd = idx.store.prepare_queries(q[:8192])
     _jax.block_until_ready(qd)
@@ -139,6 +139,17 @@ def main():
                                   max_steps=steps_of.get(ef)),
         iters=10)
     dev_qps = 8192 / secs
+
+    # quantify the bench environment: H2D bandwidth + fetch RTT of the
+    # shared TPU tunnel (the e2e/device gap is this link, not the
+    # architecture — production H2D rides PCIe at GB/s)
+    import jax.numpy as _jnp
+
+    probe = np.zeros((16 << 20 >> 2,), np.float32)  # 16 MB
+    t0 = time.time()
+    _jax.device_get(_jnp.asarray(probe)[:1])
+    h2d_mbps = 16.0 / max(time.time() - t0, 1e-9)
+    rtt_ms = measure_rtt() * 1e3
 
     # measured CPU reference baseline: the reference's scalar search
     # loop (all cores) over the SAME graph, at ITS cheapest ef meeting

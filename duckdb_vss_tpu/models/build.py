@@ -157,6 +157,8 @@ def _apply_backlinks(
     metric: MetricKind,
     r_rounds: int,
     prune: str = "diversity",
+    col_off=None,  # traced column offset into a wider packed table
+    m_cap: int | None = None,  # list width when col_off is given
 ) -> jax.Array:
     """Append src into tgt's neighbor row with overflow pruning, resolving
     same-target conflicts over ``r_rounds`` rounds.
@@ -165,8 +167,13 @@ def _apply_backlinks(
     (reconnect_neighbor_nodes_, index.hpp:3308-3312). prune="truncate"
     keeps the m_cap closest instead — one sorted slice instead of a
     sequential keep-scan; cheaper, slightly less navigable graphs.
+
+    col_off/m_cap address one level's m-wide window inside the packed 2D
+    upper table [cap_u, L_MAX*M] (GraphState.upper_neighbors layout
+    note) — no 3D view is ever materialized in-program.
     """
-    m_cap = table.shape[1]
+    if m_cap is None:
+        m_cap = table.shape[1]
     t_vec = jnp.take(vectors, jnp.maximum(tgt, 0), axis=0)
     t_sq = jnp.take(vec_sq, jnp.maximum(tgt, 0), axis=0)
     s_d = gather_scores(vectors, vec_sq, src[:, None], t_vec, t_sq, metric)[:, 0]
@@ -175,6 +182,8 @@ def _apply_backlinks(
     def round_fn(r, table):
         sel = act & (ranks == r)
         rows = jnp.take(table, jnp.maximum(tgt_row, 0), axis=0)  # [P, Mcap]
+        if col_off is not None:
+            rows = lax.dynamic_slice_in_dim(rows, col_off, m_cap, axis=1)
         merged = jnp.concatenate([rows, src[:, None]], axis=1)  # [P, Mcap+1]
         # drop duplicate src already present
         dup = jnp.any(rows == src[:, None], axis=1)
@@ -200,7 +209,11 @@ def _apply_backlinks(
         new_rows = jnp.where((count > m_cap)[:, None], pruned, appended)
 
         row_idx = jnp.where(sel, tgt_row, jnp.int32(2**30))  # drop inactive
-        return table.at[row_idx].set(new_rows, mode="drop")
+        if col_off is None:
+            return table.at[row_idx].set(new_rows, mode="drop")
+        cols = col_off + jnp.arange(m_cap, dtype=jnp.int32)
+        return table.at[row_idx[:, None], cols[None, :]].set(
+            new_rows, mode="drop")
 
     # only run as many conflict-resolution rounds as the deepest target
     # group actually needs (usually 1) — requests past r_rounds are dropped
@@ -349,10 +362,12 @@ def insert_batch_impl(
 
         sel = select_diverse(vectors, vec_sq, ids, scores, m, metric)
         sel = jnp.where(write_here[:, None], sel, -1)
-        # forward edges: upper_neighbors[u_slot, lvl-1, :] = sel
+        # forward edges: the level's m-wide window of the packed row
         row = jnp.where(write_here, jnp.take(st.upper_slot, safe_slots), -1)
         row = jnp.where(row >= 0, row, jnp.int32(2**30))
-        upper_neighbors = upper_neighbors.at[row, lvl - 1].set(sel, mode="drop")
+        lvl_cols = (lvl - 1) * m + jnp.arange(m, dtype=jnp.int32)
+        upper_neighbors = upper_neighbors.at[
+            row[:, None], lvl_cols[None, :]].set(sel, mode="drop")
 
         # back edges at this level: targets' rows live at upper_slot[tgt]
         tgt = sel.reshape(-1)
@@ -361,15 +376,11 @@ def insert_batch_impl(
         tgt_uslot = jnp.where(
             act, jnp.take(st.upper_slot, jnp.maximum(tgt, 0)), -1)
         act = act & (tgt_uslot >= 0)
-        # flatten the [cap_u, L_MAX, M] level plane into a [cap_u*L_MAX, M]
-        # view so _apply_backlinks can scatter rows at a traced level.
-        flat = upper_neighbors.reshape(-1, m)
-        flat_row = tgt_uslot * L_MAX + (lvl - 1)
-        flat = _apply_backlinks(
-            flat, vectors, vec_sq, tgt, src, act,
-            jnp.where(act, flat_row, -1), metric, r_rounds, prune,
+        upper_neighbors = _apply_backlinks(
+            upper_neighbors, vectors, vec_sq, tgt, src, act,
+            jnp.where(act, tgt_uslot, -1), metric, r_rounds, prune,
+            col_off=(lvl - 1) * m, m_cap=m,
         )
-        upper_neighbors = flat.reshape(cap_u, L_MAX, m)
 
         # seed next level with this level's beam results (fall back to seeds)
         best = jnp.where(ids[:, :1] >= 0, ids[:, :1], seeds[:, :1])

@@ -82,25 +82,24 @@ def _knn_block(q_block, slots, vectors, vec_sq, valid, k, metric, block_n):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_l", "m", "metric", "block_n", "qb", "n_chunks",
-                     "is_lv1"))
+    static_argnames=("k_l", "m", "metric", "block_n", "qb", "n_chunks"))
 def _upper_level_build(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
-                       un, highways, k_l, m, metric, block_n, qb,
-                       n_chunks, is_lv1):
+                       un, k_l, m, metric, block_n, qb, n_chunks):
     """One whole upper level inside a single jit: kNN + diversity prune
     for every qb-chunk of the level's node set, scattering forward lists
-    into ``un`` (and, at level 1, ``highways``). A fori_loop carries the
-    chunk offset so no shape or constant varies per chunk — one compile
-    per cap_s tier instead of per (level, offset) eager dispatch."""
+    into the level's column window of the packed ``un`` table
+    (GraphState.upper_neighbors layout). A fori_loop carries the chunk
+    offset so no shape or constant varies per chunk — one compile per
+    cap_s tier instead of per (level, offset) eager dispatch."""
     cap_s = nodes_j.shape[0]
     row_live = jnp.arange(cap_s, dtype=jnp.int32) < n_l
     sub = jnp.where(row_live[:, None],
                     jnp.take(vectors, nodes_j, axis=0), 0.0)
     sub_sq = jnp.take(vec_sq, nodes_j) * row_live
     sub_bf = sub.astype(jnp.bfloat16)
+    lvl_cols = (lv - 1) * m + jnp.arange(m, dtype=jnp.int32)
 
-    def chunk_body(ci, carry):
-        un, highways = carry
+    def chunk_body(ci, un):
         pos = ci * qb + jnp.arange(qb, dtype=jnp.int32)
         posm = jnp.where(pos < n_l, pos, -1)
         q_block = jnp.take(sub, jnp.maximum(posm, 0), axis=0)
@@ -115,29 +114,24 @@ def _upper_level_build(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
             chunk_nodes >= 0,
             jnp.take(upper_slot_j, jnp.maximum(chunk_nodes, 0)), -1)
         us_rows = jnp.where(us_rows >= 0, us_rows, jnp.int32(2**30))
-        un = un.at[us_rows, lv - 1].set(sel_global, mode="drop")
-        if is_lv1:
-            hw_rows = jnp.where(chunk_nodes >= 0, chunk_nodes,
-                                jnp.int32(2**30))
-            highways = highways.at[hw_rows].set(sel_global, mode="drop")
-        return un, highways
+        return un.at[us_rows[:, None], lvl_cols[None, :]].set(
+            sel_global, mode="drop")
 
-    return lax.fori_loop(0, n_chunks, chunk_body, (un, highways))
+    return lax.fori_loop(0, n_chunks, chunk_body, un)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "metric", "qb", "n_chunks", "is_lv1"))
+    static_argnames=("m", "metric", "qb", "n_chunks"))
 def _upper_level_from_knn(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
-                          knn_ids, knn_sc, un, highways, m, metric, qb,
-                          n_chunks, is_lv1):
+                          knn_ids, knn_sc, un, m, metric, qb, n_chunks):
     """Scatter an upper level's forward lists from precomputed kNN
     tables ([cap, K], global slot space — the IVF sweep's output for the
     level's node subset): per chunk, diversity-prune each node's kNN
-    list to m and write it into ``un`` (and ``highways`` at level 1)."""
+    list to m and write it into the level's column window of ``un``."""
+    lvl_cols = (lv - 1) * m + jnp.arange(m, dtype=jnp.int32)
 
-    def chunk_body(ci, carry):
-        un, highways = carry
+    def chunk_body(ci, un):
         pos = ci * qb + jnp.arange(qb, dtype=jnp.int32)
         posm = jnp.where(pos < n_l, pos, -1)
         chunk_nodes = jnp.where(
@@ -152,14 +146,10 @@ def _upper_level_from_knn(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
             chunk_nodes >= 0,
             jnp.take(upper_slot_j, jnp.maximum(chunk_nodes, 0)), -1)
         us_rows = jnp.where(us_rows >= 0, us_rows, jnp.int32(2**30))
-        un = un.at[us_rows, lv - 1].set(sel, mode="drop")
-        if is_lv1:
-            hw_rows = jnp.where(chunk_nodes >= 0, chunk_nodes,
-                                jnp.int32(2**30))
-            highways = highways.at[hw_rows].set(sel, mode="drop")
-        return un, highways
+        return un.at[us_rows[:, None], lvl_cols[None, :]].set(
+            sel, mode="drop")
 
-    return lax.fori_loop(0, n_chunks, chunk_body, (un, highways))
+    return lax.fori_loop(0, n_chunks, chunk_body, un)
 
 
 @functools.partial(jax.jit, static_argnames=("m_out", "metric"))
@@ -244,6 +234,87 @@ def _kmeans_pass(vectors, vec_sq, slot_chunks, centers, normalize):
         (counts > 0)[:, None], sums / jnp.maximum(counts, 1)[:, None],
         centers)
     return new_centers, asg.reshape(-1), counts
+
+
+# neighbors-of-neighbors refinement (see bulk_build phase 1.5): each
+# node is rescored against the kNN lists of its REFINE_J closest current
+# neighbors — J*K candidates per node, one chunked gather + matmul.
+REFINE_J = 8
+
+
+# no donate_argnums: donated-buffer executables skip the persistent
+# compile cache on this backend (see insert_batch note); the copy costs
+# one extra [cap, K] pair held across the pass
+@functools.partial(jax.jit, static_argnames=("qb", "metric"))
+def _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, slot_chunks,
+                     qb, metric):
+    cap, kk = knn_ids.shape
+    j = min(REFINE_J, kk)
+    n_chunks = slot_chunks.shape[0] // qb
+
+    def chunk_body(ci, carry):
+        knn_ids, knn_sc = carry
+        sl = lax.dynamic_slice(slot_chunks, (ci * qb,), (qb,))
+        safe = jnp.maximum(sl, 0)
+        # candidates: own list ∪ lists of the j closest neighbors
+        own_ids = jnp.take(knn_ids, safe, axis=0)  # [qb, K]
+        own_sc = jnp.take(knn_sc, safe, axis=0)
+        hop = jnp.take(knn_ids, jnp.maximum(own_ids[:, :j], 0),
+                       axis=0)  # [qb, j, K]
+        hop = jnp.where((own_ids[:, :j] >= 0)[..., None], hop, -1)
+        cand = jnp.concatenate([own_ids, hop.reshape(qb, j * kk)], axis=1)
+        # drop self and duplicates (first occurrence wins — sort by id,
+        # mask repeats, restore nothing: selection below is order-free)
+        cand = jnp.where(cand == sl[:, None], -1, cand)
+        c_sorted = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((qb, 1), jnp.bool_),
+             c_sorted[:, 1:] == c_sorted[:, :-1]], axis=1)
+        c_sorted = jnp.where(dup, -1, c_sorted)
+        # score the deduped set (pads score INF)
+        q = jnp.take(vectors_bf, safe, axis=0)
+        q_sq = jnp.take(vec_sq, safe)
+        cvec = jnp.take(vectors_bf, jnp.maximum(c_sorted, 0),
+                        axis=0)  # [qb, C, D]
+        dot = lax.dot_general(
+            cvec, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [qb, C]
+        c_sq = jnp.take(vec_sq, jnp.maximum(c_sorted, 0))
+        if metric == MetricKind.IP:
+            sc = 1.0 - dot
+        elif metric == MetricKind.L2SQ:
+            sc = jnp.maximum(q_sq[:, None] - 2.0 * dot + c_sq, 0.0)
+        else:  # cosine (zero-norm rows score 1, matching score_matrix)
+            denom = jnp.sqrt(jnp.maximum(q_sq[:, None] * c_sq, 1e-30))
+            sc = jnp.where((q_sq[:, None] <= 0) | (c_sq <= 0), 1.0,
+                           1.0 - dot / denom)
+        sc = jnp.where((c_sorted >= 0) & (sl[:, None] >= 0), sc, INF_SCORE)
+        # merge with the existing top-K (own_sc already deduped vs cand?
+        # own list is INSIDE cand, so selecting from cand alone suffices)
+        neg, pos = lax.top_k(-sc, kk)
+        new_sc = -neg
+        new_ids = jnp.take_along_axis(c_sorted, pos, axis=1)
+        new_ids = jnp.where(new_sc < INF_SCORE, new_ids, -1)
+        # keep the old list where the refined one would be worse (pads)
+        better = new_sc[:, 0] <= own_sc[:, 0]
+        rows = jnp.where((sl >= 0), sl, jnp.int32(2**30))
+        knn_ids = knn_ids.at[rows].set(
+            jnp.where(better[:, None], new_ids, own_ids), mode="drop")
+        knn_sc = knn_sc.at[rows].set(
+            jnp.where(better[:, None], new_sc, own_sc), mode="drop")
+        return knn_ids, knn_sc
+
+    return lax.fori_loop(0, n_chunks, chunk_body, (knn_ids, knn_sc))
+
+
+def _refine_knn(vectors_bf, vec_sq, knn_ids, knn_sc, slots_j, qb, metric):
+    n = slots_j.shape[0]
+    n_pad = -(-n // qb) * qb
+    sl = jnp.concatenate(
+        [slots_j, jnp.full((n_pad - n,), -1, jnp.int32)]) \
+        if n_pad != n else slots_j
+    return _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, sl, qb,
+                            metric)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "k", "metric"))
@@ -391,10 +462,13 @@ def _build_upper_levels(
     of MXU time versus minutes of insertion. Lists are forward-only
     (search descends; it never needs back-edges).
 
-    Returns (upper_neighbors [cap_u, L_MAX, m], upper_slot [cap],
+    Returns (upper_neighbors [cap_u, L_MAX*m] packed 2D, upper_slot [cap],
     upper_node [cap_u], upper_count, entry_node, max_level,
-    highways [cap, m] — the level-1 lists in global-slot space, used as
-    long-range candidates for the base layer).
+    lv_clamped [n] — levels after upper-capacity clamping). The level-1
+    lists double as the base layer's long-range skeleton candidates,
+    read from ``un`` through upper_slot at prune time (no separate
+    [cap, m] highways copy — a loop-carried array with minor dim m gets
+    tile-padded 8x in-program; see GraphState.upper_neighbors).
     """
     import os as _os2
     import time as _time2
@@ -420,8 +494,7 @@ def _build_upper_levels(
     upper_slot_np[up_slots] = np.arange(n_up, dtype=np.int32)
     upper_node_np = np.full((cap_u,), -1, np.int32)
     upper_node_np[:n_up] = up_slots
-    un = jnp.full((cap_u, L_MAX, m), -1, jnp.int32)
-    highways = jnp.full((cap, m), -1, jnp.int32)
+    un = jnp.full((cap_u, L_MAX * m), -1, jnp.int32)
     upper_slot_j = jnp.asarray(upper_slot_np)
     # overflow-clamped nodes are level 0 everywhere (levels array, entry,
     # max_level) so the graph stays self-consistent
@@ -429,8 +502,7 @@ def _build_upper_levels(
     max_level = int(lv_clamped.max()) if len(levels) else -1
     if max_level < 0:
         return (un, upper_slot_j, jnp.asarray(upper_node_np),
-                jnp.int32(0), jnp.int32(-1), jnp.int32(-1), highways,
-                lv_clamped)
+                jnp.int32(0), jnp.int32(-1), jnp.int32(-1), lv_clamped)
     entry = int(slots[lv_clamped == max_level][0])
     for lv in range(1, min(max_level, L_MAX) + 1):
         nodes_l = slots[lv_clamped >= lv]
@@ -455,19 +527,19 @@ def _build_upper_levels(
             # ceil division: qb need not divide cap_s (chunk bodies mask
             # pos >= n_l, so a ragged last chunk is harmless; floor would
             # silently drop the tail rows' neighbor lists)
-            un, highways = _upper_level_from_knn(
+            un = _upper_level_from_knn(
                 vectors, vec_sq, nodes_j, jnp.int32(n_l), jnp.int32(lv),
-                upper_slot_j, lids, lsc, un, highways, m, metric, qb,
-                -(-cap_s // qb), lv == 1)
+                upper_slot_j, lids, lsc, un, m, metric, qb,
+                -(-cap_s // qb))
         else:
-            un, highways = _upper_level_build(
+            un = _upper_level_build(
                 vectors, vec_sq, nodes_j, jnp.int32(n_l), jnp.int32(lv),
-                upper_slot_j, un, highways, k_l, m, metric, block_n, qb,
-                -(-cap_s // qb), lv == 1)
+                upper_slot_j, un, k_l, m, metric, block_n, qb,
+                -(-cap_s // qb))
         _mark(f"lv{lv}(n_l={n_l},cap_s={cap_s})")
     return (un, upper_slot_j, jnp.asarray(upper_node_np),
             jnp.int32(n_up), jnp.int32(entry), jnp.int32(max_level),
-            highways, lv_clamped)
+            lv_clamped)
 
 
 def bulk_build(
@@ -525,7 +597,7 @@ def bulk_build(
     state = make_graph(cap, m, m0)
     vectors_bf = vectors.astype(jnp.bfloat16)
     (un, upper_slot_j, upper_node_j, upper_count, entry, max_lv,
-     skeleton_base, lv_clamped) = _build_upper_levels(
+     lv_clamped) = _build_upper_levels(
         vectors, vec_sq, slots, levels, m, metric, cap,
         query_block=query_block, vectors_bf=vectors_bf)
 
@@ -577,6 +649,20 @@ def bulk_build(
         knn_sc_j = jnp.asarray(knn_sc)
 
     _mark("phase1_knn_sweep")
+    if use_ivf:
+        # NN-descent refinement: the IVF sweep misses ~1% of true
+        # neighbors (cluster-boundary rows outside the probed set),
+        # which caps search recall no matter how wide ef goes. One
+        # neighbors-of-neighbors pass recovers most of them: score each
+        # node against the kNN lists of its closest REFINE_J current
+        # neighbors and re-select top-K. (NN-descent, Dong et al. 2011
+        # — one round suffices on a 99%-good starting graph.)
+        rounds = int(_os.environ.get("DVT_BUILD_REFINE", "1"))
+        for _ in range(rounds):
+            knn_ids_j, knn_sc_j = _refine_knn(
+                vectors_bf, vec_sq, knn_ids_j, knn_sc_j, slots_j, qb,
+                metric)
+        _mark(f"phase1.5_refine(x{rounds})")
     # ---- 2. reverse candidates + diversity prune to M0 --------------
     # the rank-within-target grouping argsorts over cap*K flattened
     # edges (~6 int32 temporaries of that length); above REV_SRC_MAX
@@ -596,8 +682,8 @@ def bulk_build(
         if pad:
             chunk = jnp.concatenate([chunk, jnp.full((pad,), -1, jnp.int32)])
         neighbors0 = _bulk_prune_step(
-            neighbors0, knn_ids_j, knn_sc_j, rev, skeleton_base,
-            vectors, vec_sq, chunk, slots_j, m0, metric)
+            neighbors0, knn_ids_j, knn_sc_j, rev, un, upper_slot_j,
+            vectors, vec_sq, chunk, slots_j, m0, m, metric)
 
     _mark("phase2_prune")
     # ---- 2.5 connectivity repair ------------------------------------
@@ -659,14 +745,19 @@ def _distance_cost(n, cap, lv_clamped, max_level, use_ivf, query_block,
     return nd
 
 
-@functools.partial(jax.jit, static_argnames=("m0", "metric"))
-def _bulk_prune_step(neighbors0, knn_ids, knn_sc, rev, skeleton_base,
-                     vectors, vec_sq, chunk_slots, live_slots, m0, metric):
+@functools.partial(jax.jit, static_argnames=("m0", "m", "metric"))
+def _bulk_prune_step(neighbors0, knn_ids, knn_sc, rev, un, upper_slot,
+                     vectors, vec_sq, chunk_slots, live_slots, m0, m,
+                     metric):
     safe = jnp.maximum(chunk_slots, 0)
     fwd_i = jnp.take(knn_ids, safe, axis=0)  # [CH, K]
     fwd_s = jnp.take(knn_sc, safe, axis=0)
     rev_i = jnp.take(rev, safe, axis=0)  # [CH, R]
-    skel_i = jnp.take(skeleton_base, safe, axis=0)  # [CH, M0]
+    # level-1 skeleton edges, read from the packed upper table (columns
+    # 0..m are level 1); nodes without an upper slot contribute none
+    us = jnp.take(upper_slot, safe)
+    skel_rows = jnp.take(un, jnp.maximum(us, 0), axis=0)[:, :m]
+    skel_i = jnp.where((us >= 0)[:, None], skel_rows, -1)  # [CH, m]
     # deterministic pseudo-random long-range candidates (small-world
     # links): the diversity heuristic keeps the few that survive, giving
     # every region an escape route even without skeleton coverage

@@ -9,7 +9,8 @@ dense arrays and masked, fixed-shape batch operations:
 
 - base layer adjacency is one [cap, M0] int32 table (sentinel -1);
 - upper layers (a ~1/M fraction of nodes) live in a compacted
-  [cap_u, L_MAX, M] table addressed through an upper-slot indirection;
+  [cap_u, L_MAX*M] packed table addressed through an upper-slot
+  indirection (level-major windows per row);
 - traversal processes a whole batch of queries per step: the beam's best
   unexpanded nodes are expanded together, their neighbor lists gathered
   as one [B, E*M] index block, distances computed as one batched
@@ -50,7 +51,13 @@ class GraphState(NamedTuple):
     """Device-resident HNSW graph (all static shapes)."""
 
     neighbors0: jax.Array  # [cap, M0] int32, -1 padded
-    upper_neighbors: jax.Array  # [cap_u, L_MAX, M] int32, -1 padded
+    # upper levels, level-major packed per row: [cap_u, L_MAX * M] int32,
+    # level l (1-based) occupying columns [(l-1)*M, l*M). Packed 2D rather
+    # than [cap_u, L_MAX, M]: XLA tiles the two minor dims of loop-carried
+    # values to (8, 128), so a [.., 8, 16] layout pads 8x in-program
+    # (12 GB at 10M rows — a measured compile OOM); L_MAX*M = 128 is
+    # exactly one lane tile.
+    upper_neighbors: jax.Array
     upper_slot: jax.Array  # [cap] int32; slot into upper tables, -1 if level 0
     upper_node: jax.Array  # [cap_u] int32; owning node of an upper slot
     levels: jax.Array  # [cap] int32; node level, -1 for unused slot
@@ -67,7 +74,7 @@ def make_graph(cap: int, m: int, m0: int) -> GraphState:
     cap_u = max(cap // UPPER_DIV, 64)
     return GraphState(
         neighbors0=jnp.full((cap, m0), -1, jnp.int32),
-        upper_neighbors=jnp.full((cap_u, L_MAX, m), -1, jnp.int32),
+        upper_neighbors=jnp.full((cap_u, L_MAX * m), -1, jnp.int32),
         upper_slot=jnp.full((cap,), -1, jnp.int32),
         upper_node=jnp.full((cap_u,), -1, jnp.int32),
         levels=jnp.full((cap,), -1, jnp.int32),
@@ -85,7 +92,7 @@ def grow_graph(state: GraphState, new_cap: int) -> GraphState:
     cap_u = state.upper_neighbors.shape[0]
     new_cap_u = max(new_cap // UPPER_DIV, 64)
     m0 = state.neighbors0.shape[1]
-    m = state.upper_neighbors.shape[2]
+    m = state.upper_neighbors.shape[1] // L_MAX
 
     def pad(arr, rows, fill):
         extra = jnp.full((rows - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
@@ -309,20 +316,15 @@ def quantize_queries_i8(queries: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def fetch_upper_neighbors(state: GraphState, ids: jax.Array, level) -> jax.Array:
     """Neighbor lists of ``ids`` at upper ``level`` (1-based): [..., M]."""
+    m = state.upper_neighbors.shape[1] // L_MAX
     slot = jnp.take(state.upper_slot, jnp.maximum(ids, 0), axis=0)
     has = (ids >= 0) & (slot >= 0)
     nbrs = jnp.take(
         state.upper_neighbors, jnp.maximum(slot, 0), axis=0
-    )  # [..., L_MAX, M]
+    )  # [..., L_MAX * M]
     lvl_idx = jnp.clip(level - 1, 0, L_MAX - 1)
-    nbrs = jnp.take_along_axis(
-        nbrs,
-        jnp.broadcast_to(
-            jnp.asarray(lvl_idx, jnp.int32),
-            nbrs.shape[:-2] + (1, nbrs.shape[-1]),
-        ),
-        axis=-2,
-    ).squeeze(-2)
+    nbrs = lax.dynamic_slice_in_dim(
+        nbrs, jnp.asarray(lvl_idx, jnp.int32) * m, m, axis=nbrs.ndim - 1)
     return jnp.where(has[..., None], nbrs, -1)
 
 

@@ -61,17 +61,22 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
 
 @jax.jit
 def _isolate_jit(neighbors0, upper_neighbors, valid):
-    """Mask edges into tombstoned slots and pack live entries first."""
+    """Mask edges into tombstoned slots; base lists also pack live
+    entries first. Upper lists are mask-only: traversal already skips -1
+    anywhere in a list, and packing the packed-2D upper table would need
+    a per-level-window sort (or a [cap_u*L_MAX, m] reshape, whose
+    in-program tiled layout pads 8x — the GraphState layout note)."""
+
+    def mask(tbl):
+        ok = (tbl >= 0) & jnp.take(valid, jnp.maximum(tbl, 0))
+        return jnp.where(ok, tbl, -1)
 
     def drop(tbl):
-        ok = (tbl >= 0) & jnp.take(valid, jnp.maximum(tbl, 0))
-        t = jnp.where(ok, tbl, -1)
+        t = mask(tbl)
         order = jnp.argsort(jnp.where(t >= 0, 0, 1), axis=-1, stable=True)
         return jnp.take_along_axis(t, order, axis=-1)
 
-    sh = upper_neighbors.shape
-    return drop(neighbors0), drop(upper_neighbors.reshape(-1, sh[-1])
-                                  ).reshape(sh)
+    return drop(neighbors0), mask(upper_neighbors)
 
 
 @functools.partial(jax.jit, static_argnames=("level", "metric"))
@@ -620,7 +625,8 @@ class HNSWIndex:
             "allocated_bytes": int(nb0.nbytes),
         })
         if int(self.graph.max_level) >= 1:
-            un = np.asarray(self.graph.upper_neighbors)
+            un2 = np.asarray(self.graph.upper_neighbors)
+            un = un2.reshape(un2.shape[0], L_MAX, -1)
             uslot = np.asarray(self.graph.upper_slot)
             for lvl in range(1, int(self.graph.max_level) + 1):
                 nodes_l = live & (levels >= lvl)

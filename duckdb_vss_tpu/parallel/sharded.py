@@ -232,7 +232,8 @@ class ShardedGraph(NamedTuple):
     """Per-shard HNSW graphs stacked on a leading shard axis."""
 
     neighbors0: jax.Array  # [S, cap, M0]
-    upper_neighbors: jax.Array  # [S, cap_u, L_MAX, M]
+    upper_neighbors: jax.Array  # [S, cap_u, L_MAX*M] (packed 2D per
+    #   shard — GraphState.upper_neighbors layout note)
     upper_slot: jax.Array  # [S, cap]
     upper_node: jax.Array  # [S, cap_u]
     levels: jax.Array  # [S, cap]
@@ -276,7 +277,7 @@ def _restack(st: G.GraphState) -> ShardedGraph:
 
 _GRAPH_SPEC = ShardedGraph(
     neighbors0=P("shard", None, None),
-    upper_neighbors=P("shard", None, None, None),
+    upper_neighbors=P("shard", None, None),
     upper_slot=P("shard", None),
     upper_node=P("shard", None),
     levels=P("shard", None),
@@ -442,22 +443,25 @@ def _isolate_sharded(neighbors0, upper_neighbors, valid, *, mesh):
     (usearch isolate(), index.hpp:3109-3146)."""
 
     def shard_fn(neighbors0, upper_neighbors, valid):
-        def drop(tbl):
+        def mask(tbl):
             ok = (tbl >= 0) & jnp.take(valid[0], jnp.maximum(tbl, 0))
-            t = jnp.where(ok, tbl, -1)
+            return jnp.where(ok, tbl, -1)
+
+        def drop(tbl):
+            t = mask(tbl)
             order = jnp.argsort(jnp.where(t >= 0, 0, 1), axis=-1,
                                 stable=True)
             return jnp.take_along_axis(t, order, axis=-1)
 
-        sh = upper_neighbors.shape[1:]
-        un = drop(upper_neighbors[0].reshape(-1, sh[-1])).reshape(sh)
-        return drop(neighbors0[0])[None], un[None]
+        # base lists pack live entries first; the packed-2D upper table
+        # is mask-only (see models/hnsw._isolate_jit)
+        return drop(neighbors0[0])[None], mask(upper_neighbors[0])[None]
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("shard", None, None), P("shard", None, None, None),
+        in_specs=(P("shard", None, None), P("shard", None, None),
                   P("shard", None)),
-        out_specs=(P("shard", None, None), P("shard", None, None, None)),
+        out_specs=(P("shard", None, None), P("shard", None, None)),
     )(neighbors0, upper_neighbors, valid)
 
 
@@ -484,7 +488,7 @@ def _apply_compact_sharded(graph, vectors, vec_sq, perm, remap, old_uslot,
         nb0 = remap_ids(jnp.take(g.neighbors0, p, axis=0))
         nb0 = jnp.where(row_live[0][:, None], nb0, -1)
         un = remap_ids(jnp.take(g.upper_neighbors, old_uslot[0], axis=0))
-        un = jnp.where(urow_live[0][:, None, None], un, -1)
+        un = jnp.where(urow_live[0][:, None], un, -1)
         v = jnp.take(vectors[0], p, axis=0) * row_live[0][:, None]
         sq = jnp.take(vec_sq[0], p) * row_live[0]
         new_g = G.GraphState(
@@ -573,8 +577,8 @@ class ShardedHNSWIndex:
                 jnp.full((s, cap, cfg.m0), -1, jnp.int32),
                 self._sh("shard", None, None)),
             upper_neighbors=jax.device_put(
-                jnp.full((s, cap_u, G.L_MAX, cfg.m), -1, jnp.int32),
-                self._sh("shard", None, None, None)),
+                jnp.full((s, cap_u, G.L_MAX * cfg.m), -1, jnp.int32),
+                self._sh("shard", None, None)),
             upper_slot=jax.device_put(
                 jnp.full((s, cap), -1, jnp.int32), self._sh("shard", None)),
             upper_node=jax.device_put(
@@ -638,8 +642,8 @@ class ShardedHNSWIndex:
                 g.neighbors0, ((0, 0), (0, pad), (0, 0)),
                 constant_values=-1), self._sh("shard", None, None)),
             upper_neighbors=jax.device_put(jnp.pad(
-                g.upper_neighbors, ((0, 0), (0, pad_u), (0, 0), (0, 0)),
-                constant_values=-1), self._sh("shard", None, None, None)),
+                g.upper_neighbors, ((0, 0), (0, pad_u), (0, 0)),
+                constant_values=-1), self._sh("shard", None, None)),
             upper_slot=jax.device_put(jnp.pad(
                 g.upper_slot, ((0, 0), (0, pad)), constant_values=-1),
                 self._sh("shard", None)),
@@ -1060,7 +1064,7 @@ class ShardedHNSWIndex:
             vectors = read("vectors", np.float32, (s, cap, d_pad))
             neighbors0 = read("neighbors0", np.int32, (s, cap, m0))
             upper_nbrs = read("upper_nbrs", np.int32,
-                              (s, cap_u, G.L_MAX, m))
+                              (s, cap_u, G.L_MAX * m))
             upper_slot = read("upper_slot", np.int32, (s, cap))
             upper_node = read("upper_node", np.int32, (s, cap_u))
             levels = read("levels", np.int32, (s, cap))
@@ -1101,7 +1105,7 @@ class ShardedHNSWIndex:
             neighbors0=jax.device_put(jnp.asarray(neighbors0),
                                       sh("shard", None, None)),
             upper_neighbors=jax.device_put(
-                jnp.asarray(upper_nbrs), sh("shard", None, None, None)),
+                jnp.asarray(upper_nbrs), sh("shard", None, None)),
             upper_slot=jax.device_put(jnp.asarray(upper_slot),
                                       sh("shard", None)),
             upper_node=jax.device_put(jnp.asarray(upper_node),

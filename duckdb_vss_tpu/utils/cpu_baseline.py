@@ -65,9 +65,15 @@ class CPUBaseline:
         index._ensure_loaded()
         g = index.graph
         st = index.store
-        self.vectors = np.ascontiguousarray(jax.device_get(st._vectors))
+        # C side expects f32 rows (a bf16 scalar_kind store is upcast)
+        self.vectors = np.ascontiguousarray(
+            np.asarray(jax.device_get(st._vectors), np.float32))
         self.nbr0 = np.ascontiguousarray(jax.device_get(g.neighbors0))
-        self.upper = np.ascontiguousarray(jax.device_get(g.upper_neighbors))
+        from duckdb_vss_tpu.models.graph import L_MAX as _L_MAX
+
+        un2 = np.asarray(jax.device_get(g.upper_neighbors))
+        self.upper = np.ascontiguousarray(
+            un2.reshape(un2.shape[0], _L_MAX, -1))
         self.upper_slot = np.ascontiguousarray(
             jax.device_get(g.upper_slot))
         self.valid = np.ascontiguousarray(

@@ -122,6 +122,8 @@ def save_index(index, path: str) -> None:
             np.asarray(jax.device_get(st._valid)).astype(np.uint8)),
         "vectors": np.ascontiguousarray(jax.device_get(st._vectors)),
         "neighbors0": np.ascontiguousarray(jax.device_get(g.neighbors0)),
+        # disk format keeps the logical [cap_u, L_MAX, m] shape (bytes are
+        # identical to the packed-2D device layout, row-major)
         "upper_nbrs": np.ascontiguousarray(
             jax.device_get(g.upper_neighbors)),
         "upper_slot": np.ascontiguousarray(jax.device_get(g.upper_slot)),
@@ -284,7 +286,7 @@ def _load_native(open_reader, lazy: bool | None, what: str):
         vectors = read("vectors", _vec_np_dtype(scalar_kind), (cap, d_pad),
                        rr)
         neighbors0 = read("neighbors0", np.int32, (cap, m0), rr)
-        upper_nbrs = read("upper_nbrs", np.int32, (cap_u, L_MAX, m), rr)
+        upper_nbrs = read("upper_nbrs", np.int32, (cap_u, L_MAX * m), rr)
         upper_slot = read("upper_slot", np.int32, (cap,), rr)
         upper_node = read("upper_node", np.int32, (cap_u,), rr)
         levels = read("levels", np.int32, (cap,), rr)
@@ -374,7 +376,8 @@ def _load_npz(path: str):
     st.size = int(meta["count"])
     idx.graph = GraphState(
         neighbors0=jnp.asarray(z["neighbors0"]),
-        upper_neighbors=jnp.asarray(z["upper_nbrs"]),
+        upper_neighbors=jnp.asarray(
+            z["upper_nbrs"].reshape(z["upper_nbrs"].shape[0], -1)),
         upper_slot=jnp.asarray(z["upper_slot"]),
         upper_node=jnp.asarray(z["upper_node"]),
         levels=jnp.asarray(z["levels"]),

@@ -173,3 +173,48 @@ def test_bulk_distance_count_branches():
         0.5 * bulk.IVF_MIN_N**2)
     for big in (1_000_000, 10_000_000):
         assert bulk._ivf_distance_cost(big) < 0.1 * big * big
+
+
+def test_refine_knn_recovers_missed_neighbors(rng):
+    """One NN-descent round over a deliberately degraded kNN table
+    recovers most true neighbors (bulk_build phase 1.5)."""
+    import jax.numpy as jnp
+
+    from duckdb_vss_tpu.models.bulk import _refine_knn
+    from duckdb_vss_tpu.utils.config import MetricKind
+
+    n, d, k = 1024, 32, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    v2 = (vecs * vecs).sum(1)
+    d2 = v2[None, :] - 2.0 * (vecs @ vecs.T) + v2[:, None]
+    np.fill_diagonal(d2, np.inf)
+    true_ids = np.argsort(d2, 1)[:, :k].astype(np.int32)
+    true_sc = np.take_along_axis(d2, true_ids, 1).astype(np.float32)
+    # degrade: 25% of rows get their top half replaced by far neighbors
+    bad = rng.random(n) < 0.25
+    deg_ids, deg_sc = true_ids.copy(), true_sc.copy()
+    far = np.argsort(d2, 1)[:, 100:100 + k // 2]
+    deg_ids[bad, : k // 2] = far[bad].astype(np.int32)
+    deg_sc[bad, : k // 2] = np.take_along_axis(
+        d2, far, 1)[bad].astype(np.float32)
+    order = np.argsort(deg_sc, 1)
+    deg_ids = np.take_along_axis(deg_ids, order, 1)
+    deg_sc = np.take_along_axis(deg_sc, order, 1)
+
+    def quality(ids):
+        return np.mean([len(set(a) & set(b)) / k
+                        for a, b in zip(ids.tolist(), true_ids.tolist())])
+
+    vec_bf = jnp.asarray(vecs).astype(jnp.bfloat16)
+    vsq = jnp.asarray(v2)
+    ids_j, sc_j = jnp.asarray(deg_ids), jnp.asarray(deg_sc)
+    slots = jnp.arange(n, dtype=jnp.int32)
+    before = quality(deg_ids)
+    for _ in range(2):
+        ids_j, sc_j = _refine_knn(vec_bf, vsq, ids_j, sc_j, slots, 256,
+                                  MetricKind.L2SQ)
+    after = quality(np.asarray(ids_j))
+    assert after > before + 0.05, (before, after)
+    assert after > 0.95, after
+    got = np.asarray(ids_j)
+    assert not np.any(got == np.arange(n)[:, None])  # no self links
