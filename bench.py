@@ -189,6 +189,8 @@ def main():
                                   if cpu_rec is not None else None),
         "baseline_ef": cpu_ef,
         "baseline_qps_estimate": REFERENCE_QPS_ESTIMATE,
+        "tunnel_h2d_mbps": round(h2d_mbps, 1),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
         "build_vectors_per_s": round(build_vps, 1),
         "build_seconds": round(build_s, 1),
         "n": n,
