@@ -672,7 +672,9 @@ def bulk_build(
     # build inside one chip's HBM
     rev_cols = knn_ids_j.shape[1]
     if cap * rev_cols > REV_SRC_MAX:
-        rev_cols = max(rev_r, REV_SRC_COLS)
+        # rev_r is the per-TARGET kept count — independent of how many
+        # source columns feed requests, so the cap need not exceed it
+        rev_cols = min(rev_cols, REV_SRC_COLS)
     rev = _reverse_candidates(
         knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
