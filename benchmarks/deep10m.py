@@ -40,43 +40,50 @@ from duckdb_vss_tpu.models.hnsw import HNSWIndex
 def main():
     n = int(os.environ.get("DVT_DEEP_N", 10_000_000))
     d, k, nq = 96, 10, 8192
-    rng = np.random.default_rng(77)
-    n_centers = 8192
-    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
-    t0 = time.time()
-    vecs = np.empty((n, d), np.float32)
-    chunk = 500_000
-    for off in range(0, n, chunk):
-        m = min(chunk, n - off)
-        asg = rng.integers(0, n_centers, m)
-        vecs[off:off + m] = (centers[asg]
-                             + 0.25 * rng.normal(size=(m, d)).astype(
-                                 np.float32))
-    q = (centers[rng.integers(0, n_centers, nq)]
-         + 0.25 * rng.normal(size=(nq, d)).astype(np.float32))
-    gen_s = time.time() - t0
-    print(f"# gen: {gen_s:.0f}s", file=sys.stderr, flush=True)
-
-    # exact ground truth for 512 queries (host matmul, chunked over rows)
     n_gt = 512
-    t0 = time.time()
-    best_d = np.full((n_gt, k), np.inf, np.float32)
-    best_i = np.full((n_gt, k), -1, np.int64)
-    qg = q[:n_gt]
-    for off in range(0, n, chunk):
-        blk = vecs[off:off + chunk]
-        d2 = (blk * blk).sum(1)[None, :] - 2.0 * (qg @ blk.T)
-        cat_d = np.concatenate([best_d, d2], axis=1)
-        cat_i = np.concatenate(
-            [best_i, np.broadcast_to(np.arange(off, off + len(blk)),
-                                     (n_gt, len(blk)))], axis=1)
-        pos = np.argpartition(cat_d, k, axis=1)[:, :k]
-        best_d = np.take_along_axis(cat_d, pos, axis=1)
-        best_i = np.take_along_axis(cat_i, pos, axis=1)
-    order = np.argsort(best_d, axis=1)
-    gt = np.take_along_axis(best_i, order, axis=1)
-    gt_s = time.time() - t0
-    print(f"# gt: {gt_s:.0f}s", file=sys.stderr, flush=True)
+    chunk = 500_000
+    cache = f"/tmp/deep_data_{n}_{d}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        vecs, q, gt = z["vecs"], z["q"], z["gt"]
+        print("# data cache hit", file=sys.stderr, flush=True)
+    else:
+        rng = np.random.default_rng(77)
+        n_centers = 8192
+        centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+        t0 = time.time()
+        vecs = np.empty((n, d), np.float32)
+        for off in range(0, n, chunk):
+            m = min(chunk, n - off)
+            asg = rng.integers(0, n_centers, m)
+            vecs[off:off + m] = (centers[asg]
+                                 + 0.25 * rng.normal(size=(m, d)).astype(
+                                     np.float32))
+        q = (centers[rng.integers(0, n_centers, nq)]
+             + 0.25 * rng.normal(size=(nq, d)).astype(np.float32))
+        gen_s = time.time() - t0
+        print(f"# gen: {gen_s:.0f}s", file=sys.stderr, flush=True)
+
+        # exact ground truth for n_gt queries (host matmul, chunked)
+        t0 = time.time()
+        best_d = np.full((n_gt, k), np.inf, np.float32)
+        best_i = np.full((n_gt, k), -1, np.int64)
+        qg = q[:n_gt]
+        for off in range(0, n, chunk):
+            blk = vecs[off:off + chunk]
+            d2 = (blk * blk).sum(1)[None, :] - 2.0 * (qg @ blk.T)
+            cat_d = np.concatenate([best_d, d2], axis=1)
+            cat_i = np.concatenate(
+                [best_i, np.broadcast_to(np.arange(off, off + len(blk)),
+                                         (n_gt, len(blk)))], axis=1)
+            pos = np.argpartition(cat_d, k, axis=1)[:, :k]
+            best_d = np.take_along_axis(cat_d, pos, axis=1)
+            best_i = np.take_along_axis(cat_i, pos, axis=1)
+        order = np.argsort(best_d, axis=1)
+        gt = np.take_along_axis(best_i, order, axis=1)
+        gt_s = time.time() - t0
+        print(f"# gt: {gt_s:.0f}s", file=sys.stderr, flush=True)
+        np.savez(cache, vecs=vecs, q=q, gt=gt)
 
     scalar = os.environ.get("DVT_DEEP_SCALAR", "bf16")
     os.environ.setdefault("DVT_BUILD_KNN_K", "32")

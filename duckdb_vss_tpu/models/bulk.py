@@ -126,9 +126,10 @@ def _upper_level_build(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
 def _upper_level_from_knn(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
                           knn_ids, knn_sc, un, m, metric, qb, n_chunks):
     """Scatter an upper level's forward lists from precomputed kNN
-    tables ([cap, K], global slot space — the IVF sweep's output for the
-    level's node subset): per chunk, diversity-prune each node's kNN
-    list to m and write it into the level's column window of ``un``."""
+    tables ([cap_s, K] in the level's LOCAL row order, holding global
+    slot ids — the IVF sweep's output compacted to the node subset):
+    per chunk, diversity-prune each node's kNN list to m and write it
+    into the level's column window of ``un``."""
     lvl_cols = (lv - 1) * m + jnp.arange(m, dtype=jnp.int32)
 
     def chunk_body(ci, un):
@@ -136,9 +137,8 @@ def _upper_level_from_knn(vectors, vec_sq, nodes_j, n_l, lv, upper_slot_j,
         posm = jnp.where(pos < n_l, pos, -1)
         chunk_nodes = jnp.where(
             posm >= 0, jnp.take(nodes_j, jnp.maximum(posm, 0)), -1)
-        safe = jnp.maximum(chunk_nodes, 0)
-        ids = jnp.take(knn_ids, safe, axis=0)
-        sc = jnp.take(knn_sc, safe, axis=0)
+        ids = jnp.take(knn_ids, jnp.maximum(posm, 0), axis=0)
+        sc = jnp.take(knn_sc, jnp.maximum(posm, 0), axis=0)
         ids = jnp.where(chunk_nodes[:, None] >= 0, ids, -1)
         sc = jnp.where(ids >= 0, sc, INF_SCORE)
         sel = _prune_chunk(ids, sc, vectors, vec_sq, m, metric)
@@ -524,6 +524,11 @@ def _build_upper_levels(
                    else vectors.astype(jnp.bfloat16))
             lids, lsc = _ivf_knn_sweep(
                 vectors, vbf, vec_sq, nodes_l, k_l, metric)
+            # compact the sweep's [cap, k] tables to the level's node
+            # set ([cap_s, k]) so the full-capacity copies (3.2 GB each
+            # at 10M rows for a 625k-node level) free before the prune
+            lids = jnp.take(lids, nodes_j, axis=0)
+            lsc = jnp.take(lsc, nodes_j, axis=0)
             # ceil division: qb need not divide cap_s (chunk bodies mask
             # pos >= n_l, so a ragged last chunk is harmless; floor would
             # silently drop the tail rows' neighbor lists)
