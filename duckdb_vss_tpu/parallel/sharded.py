@@ -293,9 +293,11 @@ def _scatter_sharded(vectors, vec_sq, valid, batch_v, batch_slots, *, mesh):
 
     def shard_fn(vectors, vec_sq, valid, bv, bs):
         rows = jnp.where(bs[0] >= 0, bs[0], jnp.int32(2**30))
-        v = vectors[0].at[rows].set(bv[0], mode="drop")
+        upd = bv[0].astype(vectors.dtype)  # scalar_kind store cast
+        u32 = upd.astype(jnp.float32)  # norms from the ROUNDED values
+        v = vectors[0].at[rows].set(upd, mode="drop")
         sq = vec_sq[0].at[rows].set(
-            jnp.sum(bv[0] * bv[0], axis=-1), mode="drop")
+            jnp.sum(u32 * u32, axis=-1), mode="drop")
         va = valid[0].at[rows].set(True, mode="drop")
         return v[None], sq[None], va[None]
 
@@ -529,13 +531,21 @@ class ShardedHNSWIndex:
 
     def __init__(self, dims: int, config: HNSWConfig, mesh: Mesh,
                  capacity_per_shard: int = 4096, seed: int = 0x5EED,
-                 build_batch: int = 128, placement_alpha: int = 16):
+                 build_batch: int = 128, placement_alpha: int = 16,
+                 scalar_kind: str = "f32"):
         self.dims = int(dims)
         self.d_pad = pad_dim(self.dims)
         self.config = config
         self.mesh = mesh
         self.n_shards = mesh.shape["shard"]
         self.build_batch = build_batch
+        if scalar_kind not in ("f32", "bf16"):
+            raise ValueError(
+                f"scalar_kind must be f32 or bf16, got {scalar_kind!r}")
+        # bf16 = the lean storage mode (FlatIndex docstring); per shard
+        # the store then doubles as the traversal table
+        self.scalar_kind = scalar_kind
+        self._dtype = jnp.bfloat16 if scalar_kind == "bf16" else jnp.float32
         cap = max(1024, int(capacity_per_shard))
         self.cap = 1 << (cap - 1).bit_length()
         s = self.n_shards
@@ -562,7 +572,7 @@ class ShardedHNSWIndex:
 
     def _alloc_store(self, s, cap):
         self._vectors = jax.device_put(
-            jnp.zeros((s, cap, self.d_pad), jnp.float32),
+            jnp.zeros((s, cap, self.d_pad), self._dtype),
             self._sh("shard", None, None))
         self._vec_sq = jax.device_put(
             jnp.zeros((s, cap), jnp.float32), self._sh("shard", None))
@@ -887,8 +897,10 @@ class ShardedHNSWIndex:
                 self._vectors, self._vec_sq, self.graph.neighbors0,
                 mesh=self.mesh)
         if not use_nbr and self._trav_cache is None:
-            self._trav_cache = jax.jit(
-                lambda v: v.astype(jnp.bfloat16))(self._vectors)
+            self._trav_cache = (
+                self._vectors if self._vectors.dtype == jnp.bfloat16
+                else jax.jit(
+                    lambda v: v.astype(jnp.bfloat16))(self._vectors))
         return self._upper_cache, (self._nbr_cache if use_nbr else None)
 
     def _nbr_budget_ok(self) -> bool:
@@ -976,6 +988,7 @@ class ShardedHNSWIndex:
         hdr.upper_count = 0
         hdr.reserved[0] = s
         hdr.reserved[1] = self.placement.v
+        hdr.reserved[2] = PS._SCALAR_CODE[self.scalar_kind]
         free_flat = np.concatenate(
             [np.asarray(f, np.int64) for f in self._free_slots]) \
             if any(self._free_slots) else np.zeros((0,), np.int64)
@@ -1039,6 +1052,7 @@ class ShardedHNSWIndex:
             h = lib.vss_reader_header(r).contents
             s = int(h.reserved[0])
             v_virtual = int(h.reserved[1])
+            scalar_kind = PS._CODE_SCALAR[int(h.reserved[2])]
             cap = int(h.capacity)
             cap_u = int(h.cap_upper)
             d_pad = int(h.d_pad)
@@ -1061,7 +1075,8 @@ class ShardedHNSWIndex:
 
             keys = read("keys", np.int64, (s, cap))
             valid = read("valid", np.uint8, (s, cap)).astype(bool)
-            vectors = read("vectors", np.float32, (s, cap, d_pad))
+            vectors = read("vectors", PS._vec_np_dtype(scalar_kind),
+                           (s, cap, d_pad))
             neighbors0 = read("neighbors0", np.int32, (s, cap, m0))
             upper_nbrs = read("upper_nbrs", np.int32,
                               (s, cap_u, G.L_MAX * m))
@@ -1082,16 +1097,17 @@ class ShardedHNSWIndex:
             lib.vss_reader_close(r)
 
         idx = cls(dims, cfg, mesh, capacity_per_shard=cap,
-                  placement_alpha=max(1, v_virtual // s))
+                  placement_alpha=max(1, v_virtual // s),
+                  scalar_kind=scalar_kind)
         assert idx.cap == cap
         idx.placement.assign = pl_assign
         idx.placement.load = pl_load
         sh = idx._sh
         idx._vectors = jax.device_put(jnp.asarray(vectors),
                                       sh("shard", None, None))
+        v32 = jnp.asarray(vectors).astype(jnp.float32)
         idx._vec_sq = jax.device_put(
-            jnp.sum(jnp.asarray(vectors) ** 2, axis=-1),
-            sh("shard", None))
+            jnp.sum(v32 * v32, axis=-1), sh("shard", None))
         idx._valid = jax.device_put(jnp.asarray(valid), sh("shard", None))
         idx._keys = keys
         idx._key_to_slot = [

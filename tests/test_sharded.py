@@ -191,3 +191,35 @@ def test_sharded_search_matches_singlechip_recall(mesh8):
     rec = sum(len(set(a) & set(b))
               for a, b in zip(got.tolist(), gt.tolist())) / gt.size
     assert rec > 0.9, rec
+
+
+def test_sharded_bf16_scalar_kind(rng, mesh8):
+    """scalar_kind='bf16' lean sharded store: build + merged search +
+    persist roundtrip preserve the dtype and the results."""
+    import jax.numpy as jnp
+
+    from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex
+
+    n, d, k = 1024, 32, 5
+    centers = rng.normal(size=(16, d)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 16, n)]
+            + 0.2 * rng.normal(size=(n, d)).astype(np.float32))
+    keys = np.arange(n, dtype=np.int64)
+    idx = ShardedHNSWIndex(d, HNSWConfig(), mesh8,
+                           capacity_per_shard=512, build_batch=64,
+                           scalar_kind="bf16")
+    idx.add(vecs, keys)
+    assert idx._vectors.dtype == jnp.bfloat16
+    q = vecs[:32]
+    _, got = idx.search(q, k, ef=48)
+    assert (got[:, 0] == keys[:32]).mean() >= 0.9
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "sh_bf16.vss")
+    idx.save(path)
+    idx2 = ShardedHNSWIndex.load(path, mesh8)
+    assert idx2.scalar_kind == "bf16"
+    assert idx2._vectors.dtype == jnp.bfloat16
+    _, got2 = idx2.search(q, k, ef=48)
+    np.testing.assert_array_equal(got, got2)
