@@ -242,10 +242,6 @@ def _kmeans_pass(vectors, vec_sq, slot_chunks, centers, normalize):
 REFINE_J = 8
 
 
-# no donate_argnums: donated-buffer executables skip the persistent
-# compile cache on this backend (see insert_batch note); the copy costs
-# one extra [cap, K] pair held across the pass
-@functools.partial(jax.jit, static_argnames=("qb", "metric"))
 def _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, slot_chunks,
                      qb, metric):
     cap, kk = knn_ids.shape
@@ -307,14 +303,28 @@ def _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, slot_chunks,
     return lax.fori_loop(0, n_chunks, chunk_body, (knn_ids, knn_sc))
 
 
+# small tables: no donation (donated-buffer executables skip the
+# persistent compile cache on this backend — see insert_batch note; the
+# copy is cheap). Large tables (10M rows: 6.4 GB in+out+carry copies
+# measured as a config-5 OOM): donate so the pass updates in place and
+# eat the per-process compile.
+_refine_small = functools.partial(
+    jax.jit, static_argnames=("qb", "metric"))(_refine_knn_impl)
+_refine_large = functools.partial(
+    jax.jit, static_argnames=("qb", "metric"),
+    donate_argnums=(2, 3))(_refine_knn_impl)
+REFINE_DONATE_ELEMS = 128 * 1024 * 1024
+
+
 def _refine_knn(vectors_bf, vec_sq, knn_ids, knn_sc, slots_j, qb, metric):
     n = slots_j.shape[0]
     n_pad = -(-n // qb) * qb
     sl = jnp.concatenate(
         [slots_j, jnp.full((n_pad - n,), -1, jnp.int32)]) \
         if n_pad != n else slots_j
-    return _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, sl, qb,
-                            metric)
+    big = knn_ids.shape[0] * knn_ids.shape[1] >= REFINE_DONATE_ELEMS
+    fn = _refine_large if big else _refine_small
+    return fn(vectors_bf, vec_sq, knn_ids, knn_sc, sl, qb, metric)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "k", "metric"))
