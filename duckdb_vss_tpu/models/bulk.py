@@ -242,25 +242,31 @@ def _kmeans_pass(vectors, vec_sq, slot_chunks, centers, normalize):
 REFINE_J = 8
 
 
-def _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, slot_chunks,
-                     qb, metric):
+def _refine_seg_compute_impl(vectors_bf, vec_sq, knn_ids, knn_sc,
+                             sl_seg, qb, metric):
+    """Refined top-K lists for one SEGMENT of rows, position-indexed.
+
+    Reads the full [cap, K] tables gather-only (no carry, no donation —
+    a loop-carried copy of the 10M tables was 3x 3.2 GB and OOMed; the
+    donated variant crashed the TPU worker outright). Output is a dense
+    [seg_rows, K] pair written with contiguous dynamic_update_slice
+    rows; the caller scatters it back in a separate tiny program."""
     cap, kk = knn_ids.shape
     j = min(REFINE_J, kk)
-    n_chunks = slot_chunks.shape[0] // qb
+    s_rows = sl_seg.shape[0]
+    n_chunks = s_rows // qb
 
-    def chunk_body(ci, carry):
-        knn_ids, knn_sc = carry
-        sl = lax.dynamic_slice(slot_chunks, (ci * qb,), (qb,))
+    def chunk_body(ci, out):
+        out_ids, out_sc = out
+        sl = lax.dynamic_slice(sl_seg, (ci * qb,), (qb,))
         safe = jnp.maximum(sl, 0)
         # candidates: own list ∪ lists of the j closest neighbors
         own_ids = jnp.take(knn_ids, safe, axis=0)  # [qb, K]
-        own_sc = jnp.take(knn_sc, safe, axis=0)
         hop = jnp.take(knn_ids, jnp.maximum(own_ids[:, :j], 0),
                        axis=0)  # [qb, j, K]
         hop = jnp.where((own_ids[:, :j] >= 0)[..., None], hop, -1)
         cand = jnp.concatenate([own_ids, hop.reshape(qb, j * kk)], axis=1)
-        # drop self and duplicates (first occurrence wins — sort by id,
-        # mask repeats, restore nothing: selection below is order-free)
+        # drop self and duplicates (selection below is order-free)
         cand = jnp.where(cand == sl[:, None], -1, cand)
         c_sorted = jnp.sort(cand, axis=1)
         dup = jnp.concatenate(
@@ -285,46 +291,52 @@ def _refine_knn_impl(vectors_bf, vec_sq, knn_ids, knn_sc, slot_chunks,
             sc = jnp.where((q_sq[:, None] <= 0) | (c_sq <= 0), 1.0,
                            1.0 - dot / denom)
         sc = jnp.where((c_sorted >= 0) & (sl[:, None] >= 0), sc, INF_SCORE)
-        # merge with the existing top-K (own_sc already deduped vs cand?
-        # own list is INSIDE cand, so selecting from cand alone suffices)
+        # own list is INSIDE cand, so top-K over cand can only improve
         neg, pos = lax.top_k(-sc, kk)
         new_sc = -neg
         new_ids = jnp.take_along_axis(c_sorted, pos, axis=1)
         new_ids = jnp.where(new_sc < INF_SCORE, new_ids, -1)
-        # keep the old list where the refined one would be worse (pads)
-        better = new_sc[:, 0] <= own_sc[:, 0]
-        rows = jnp.where((sl >= 0), sl, jnp.int32(2**30))
-        knn_ids = knn_ids.at[rows].set(
-            jnp.where(better[:, None], new_ids, own_ids), mode="drop")
-        knn_sc = knn_sc.at[rows].set(
-            jnp.where(better[:, None], new_sc, own_sc), mode="drop")
-        return knn_ids, knn_sc
+        out_ids = lax.dynamic_update_slice(out_ids, new_ids, (ci * qb, 0))
+        out_sc = lax.dynamic_update_slice(out_sc, new_sc, (ci * qb, 0))
+        return out_ids, out_sc
 
-    return lax.fori_loop(0, n_chunks, chunk_body, (knn_ids, knn_sc))
+    init = (jnp.full((s_rows, kk), -1, jnp.int32),
+            jnp.full((s_rows, kk), INF_SCORE, jnp.float32))
+    return lax.fori_loop(0, n_chunks, chunk_body, init)
 
 
-# small tables: no donation (donated-buffer executables skip the
-# persistent compile cache on this backend — see insert_batch note; the
-# copy is cheap). Large tables (10M rows: 6.4 GB in+out+carry copies
-# measured as a config-5 OOM): donate so the pass updates in place and
-# eat the per-process compile.
-_refine_small = functools.partial(
-    jax.jit, static_argnames=("qb", "metric"))(_refine_knn_impl)
-_refine_large = functools.partial(
-    jax.jit, static_argnames=("qb", "metric"),
-    donate_argnums=(2, 3))(_refine_knn_impl)
-REFINE_DONATE_ELEMS = 128 * 1024 * 1024
+_refine_seg_compute = functools.partial(
+    jax.jit, static_argnames=("qb", "metric"))(_refine_seg_compute_impl)
+
+
+@jax.jit
+def _refine_seg_scatter(knn_ids, knn_sc, sl_seg, upd_ids, upd_sc):
+    rows = jnp.where(sl_seg >= 0, sl_seg, jnp.int32(2**30))
+    return (knn_ids.at[rows].set(upd_ids, mode="drop"),
+            knn_sc.at[rows].set(upd_sc, mode="drop"))
+
+
+# rows per refinement segment: bounds the dense update buffers (and the
+# scatter program's working set) independently of cap
+REFINE_SEG_ROWS = 2 * 1024 * 1024
 
 
 def _refine_knn(vectors_bf, vec_sq, knn_ids, knn_sc, slots_j, qb, metric):
     n = slots_j.shape[0]
-    n_pad = -(-n // qb) * qb
-    sl = jnp.concatenate(
-        [slots_j, jnp.full((n_pad - n,), -1, jnp.int32)]) \
-        if n_pad != n else slots_j
-    big = knn_ids.shape[0] * knn_ids.shape[1] >= REFINE_DONATE_ELEMS
-    fn = _refine_large if big else _refine_small
-    return fn(vectors_bf, vec_sq, knn_ids, knn_sc, sl, qb, metric)
+    seg = min(REFINE_SEG_ROWS, -(-n // qb) * qb)
+    slots_np = np.asarray(slots_j)
+    for off in range(0, n, seg):
+        chunk = slots_np[off : off + seg]
+        sl_seg = np.full((seg,), -1, np.int32)
+        sl_seg[: len(chunk)] = chunk
+        sl_j = jnp.asarray(sl_seg)
+        upd_ids, upd_sc = _refine_seg_compute(
+            vectors_bf, vec_sq, knn_ids, knn_sc, sl_j, qb, metric)
+        # scatter before the next segment (Gauss-Seidel: later segments
+        # see earlier refinements, same as the reference NN-descent)
+        knn_ids, knn_sc = _refine_seg_scatter(
+            knn_ids, knn_sc, sl_j, upd_ids, upd_sc)
+    return knn_ids, knn_sc
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "k", "metric"))
