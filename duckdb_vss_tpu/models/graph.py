@@ -264,7 +264,7 @@ def make_neighborhood_tables(
     vectors: jax.Array,  # [cap, d_pad] f32 store
     vec_sq: jax.Array,  # [cap]
     neighbors0: jax.Array,  # [cap, M0]
-    chunk: int = 131072,
+    chunk: int = 32768,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Neighborhood-materialized traversal layout: for every node, its M0
     base-layer neighbors' VECTORS stored contiguously as one int8 row.
@@ -290,7 +290,9 @@ def make_neighborhood_tables(
     nbr_sq [cap, M0] f32). Rows at padding positions (neighbor -1) hold
     node 0's vector and are masked by the caller via the id table.
     Built in chunks with donated updates so peak memory stays near the
-    final table size.
+    final table size (chunk 32768 keeps the f32 gather temporary under
+    ~0.6 GB at d=128, M0=32 — round 2's driver bench OOMed here at
+    chunk 131072 with a fragmented post-build HBM).
     """
     cap, d_pad = vectors.shape
     m0 = neighbors0.shape[1]

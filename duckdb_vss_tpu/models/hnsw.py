@@ -250,11 +250,24 @@ class HNSWIndex:
             from duckdb_vss_tpu.models.graph import make_neighborhood_tables
             from duckdb_vss_tpu.ops.pallas_beam import pack_meta
 
-            vecs_i8, scale, sq = make_neighborhood_tables(
-                self.store._vectors, self.store._vec_sq,
-                self.graph.neighbors0)
-            meta = jax.jit(pack_meta)(self.graph.neighbors0, scale, sq)
-            self._nbr_cache = (vecs_i8, scale, sq, meta)
+            try:
+                vecs_i8, scale, sq = make_neighborhood_tables(
+                    self.store._vectors, self.store._vec_sq,
+                    self.graph.neighbors0)
+                meta = jax.jit(pack_meta)(self.graph.neighbors0, scale, sq)
+                self._nbr_cache = (vecs_i8, scale, sq, meta)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # table didn't fit (fragmented/shared HBM): fall back to
+                # the flat per-candidate-gather layout for this index
+                # rather than killing the query (round-2 driver bench
+                # died here)
+                import sys as _sys
+                print("# neighborhood layout OOM; falling back to flat",
+                      file=_sys.stderr, flush=True)
+                self.layout = "flat"
+                return None, None, None, None
         return self._nbr_cache
 
     def _aug_table(self) -> jax.Array | None:

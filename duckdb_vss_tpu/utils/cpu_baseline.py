@@ -52,12 +52,62 @@ def get_lib():
         ctypes.POINTER(_Graph), ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.cpu_hnsw_build.restype = ctypes.c_double
+    lib.cpu_hnsw_build.argtypes = [
+        ctypes.POINTER(_Graph), ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int]
     _LIB = lib
     return lib
 
 
 class CPUBaseline:
     """Host-resident copy of an HNSWIndex's graph + scalar search."""
+
+    @classmethod
+    def build(cls, vectors: np.ndarray, levels: np.ndarray,
+              m: int = 16, m0: int = 32, ef_construction: int = 128,
+              l_max: int = 8, n_threads: int = 0):
+        """Standalone reference-semantics build: insertion-based HNSW
+        construction (usearch index_gt::add semantics — descent +
+        ef_construction beam + refine_ diversity + back-link re-prune,
+        /root/reference/src/include/usearch/index.hpp:2297-2378) over
+        ``vectors`` with caller-sampled ``levels``. The resulting
+        CPUBaseline owns its OWN graph, exactly like the reference
+        extension builds its own index — so bench.py's vs_baseline
+        compares whole engines at matching recall, not the reference's
+        search loop over a graph tuned for multi-seed MXU descent.
+
+        Returns (baseline, build_seconds)."""
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("libcpu_hnsw.so not built (make -C native)")
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        n, d = vectors.shape
+        levels = np.ascontiguousarray(levels, np.int32)
+        cap_u = max(int((levels >= 1).sum()), 1)
+        self = cls.__new__(cls)
+        self.vectors = vectors
+        self.nbr0 = np.full((n, m0), -1, np.int32)
+        self.upper = np.full((cap_u, l_max, m), -1, np.int32)
+        self.upper_slot = np.full((n,), -1, np.int32)
+        self.valid = np.ones((n,), np.uint8)
+        self.dims = d
+        self.d_pad = d
+        self.keys = np.arange(n, dtype=np.int64)
+        self._g = _Graph(
+            vectors=self.vectors.ctypes.data,
+            nbr0=self.nbr0.ctypes.data,
+            upper=self.upper.ctypes.data,
+            upper_slot=self.upper_slot.ctypes.data,
+            valid=self.valid.ctypes.data,
+            cap=n, cap_u=cap_u, d_pad=d, dims=d, m0=m0,
+            levels=l_max, m=m, entry_node=-1, max_level=-1)
+        secs = lib.cpu_hnsw_build(
+            ctypes.byref(self._g), levels.ctypes.data, n,
+            int(ef_construction), int(n_threads))
+        if secs < 0:
+            raise RuntimeError("cpu_hnsw_build failed (upper overflow)")
+        return self, float(secs)
 
     def __init__(self, index):
         import jax
