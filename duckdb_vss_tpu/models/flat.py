@@ -47,6 +47,11 @@ MIN_CAPACITY = 1024
 DEFAULT_BLOCK_N = 16384
 
 
+@jax.jit
+def _dequant_queries(q8, scale):
+    return q8.astype(jnp.float32) * scale[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_n"))
 def _search_jit(queries, vectors, vec_sq, valid, k, metric, block_n):
     scores, slots = flat_topk(
@@ -212,12 +217,16 @@ class FlatIndex:
         """Pad + upload a query batch.
 
         transfer_dtype="bf16" ships the batch over the host->device link
-        as bfloat16 and upcasts on device — half the H2D bytes. Measured
-        over the shared TPU tunnel the H2D transfer costs several times
-        the whole search program (benchmarks/attribute_search.py), so
-        serving paths that tolerate query rounding (ANN search does; the
-        rerank's DISTANCES shift by ~2^-9 relative but the top-k SET is
-        stable) should opt in. Exact-parity paths (SQL flat scans) keep
+        as bfloat16 and upcasts on device — half the H2D bytes;
+        "int8" ships per-query symmetric-quantized rows + one f32 scale
+        each (~4x fewer bytes than f32) and dequantizes on device.
+        Measured over the shared TPU tunnel the H2D transfer costs
+        several times the whole search program
+        (benchmarks/attribute_search.py), so serving paths that tolerate
+        query rounding (ANN search does; the rerank's DISTANCES shift by
+        ~2^-9 relative for bf16, ~2^-7 for int8, but the top-k SET is
+        stable — bench.py measures recall WITH the chosen transfer
+        dtype) should opt in. Exact-parity paths (SQL flat scans) keep
         f32."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
@@ -233,6 +242,13 @@ class FlatIndex:
 
             return jnp.asarray(padded.astype(ml_dtypes.bfloat16)
                                ).astype(jnp.float32)
+        if transfer_dtype == "int8":
+            absmax = np.abs(padded).max(axis=1)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0
+                             ).astype(np.float32)
+            q8 = np.clip(np.round(padded / scale[:, None]), -127, 127
+                         ).astype(np.int8)
+            return _dequant_queries(jnp.asarray(q8), jnp.asarray(scale))
         return jnp.asarray(padded)
 
     def search_device(self, queries_padded: jax.Array, k: int,
