@@ -254,8 +254,7 @@ def _nbr_fill_chunk(table, scales, vectors, vec_sq, nbr_chunk, off):
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q8 = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127
                   ).astype(jnp.int8)
-    s, m0, d = rows.shape
-    table = lax.dynamic_update_slice(table, q8.reshape(s, m0 * d), (off, 0))
+    table = lax.dynamic_update_slice(table, q8, (off, 0, 0))
     scales = lax.dynamic_update_slice(scales, scale, (off, 0))
     return table, scales
 
@@ -286,17 +285,23 @@ def make_neighborhood_tables(
     max per element) only perturbs traversal ranking — emitted distances
     come from the exact f32 rerank.
 
-    Returns (nbr_vecs [cap, M0*d_pad] int8, nbr_scale [cap, M0] f32,
+    Returns (nbr_vecs [cap, M0, d_pad] int8, nbr_scale [cap, M0] f32,
     nbr_sq [cap, M0] f32). Rows at padding positions (neighbor -1) hold
     node 0's vector and are masked by the caller via the id table.
     Built in chunks with donated updates so peak memory stays near the
     final table size (chunk 32768 keeps the f32 gather temporary under
     ~0.6 GB at d=128, M0=32 — round 2's driver bench OOMed here at
     chunk 131072 with a fragmented post-build HBM).
+
+    The table is 3-D ([cap, M0, D], one node's neighborhood = one
+    (M0, D) tile) END TO END: reshaping the 2-D [cap, M0*D] form to 3-D
+    inside the search jit relayouts the whole multi-GB table on every
+    call — measured 13.3 ms of fixed per-launch cost at 1M x 128, the
+    single largest search-time line item found in round 3.
     """
     cap, d_pad = vectors.shape
     m0 = neighbors0.shape[1]
-    table = jnp.zeros((cap, m0 * d_pad), jnp.int8)
+    table = jnp.zeros((cap, m0, d_pad), jnp.int8)
     scales = jnp.ones((cap, m0), jnp.float32)
     for off in range(0, cap, chunk):
         s = min(chunk, cap - off)
@@ -418,7 +423,7 @@ def beam_search(
     use_pallas: bool = False,  # fused DMA gather+score kernel (TPU only)
     loop: str = "while",  # "while" (early exit) | "scan" | "unroll"
     aug: bool = False,  # vectors/queries/q_sq are augmented (make_aug_table)
-    nbr_vecs: jax.Array | None = None,  # [cap, M0*D] i8 neighborhood layout
+    nbr_vecs: jax.Array | None = None,  # [cap, M0, D] i8 neighborhood layout
     nbr_scale: jax.Array | None = None,  # [cap, M0] f32 dequant scales
     nbr_sq: jax.Array | None = None,  # [cap, M0]
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -508,7 +513,7 @@ def beam_search(
             # gathered rows than per-candidate gathers, int8 MXU dots
             sel_safe = jnp.maximum(sel_ids, 0)  # [B, E]
             d = queries.shape[1]
-            rows = jnp.take(nbr_vecs, sel_safe, axis=0)  # [B, E, M0*D] i8
+            rows = jnp.take(nbr_vecs, sel_safe, axis=0)  # [B, E, M0, D] i8
             cand = rows.reshape(b, -1, d)  # [B, E*M0, D]
             v_sq = jnp.take(nbr_sq, sel_safe, axis=0).reshape(b, -1)
             v_scale = jnp.take(nbr_scale, sel_safe, axis=0).reshape(b, -1)

@@ -224,7 +224,7 @@ class HNSWIndex:
         return self._trav_cache
 
     def _neighborhood_tables(self):
-        """(nbr_vecs [cap, M0*D] int8, nbr_scale [cap, M0] f32,
+        """(nbr_vecs [cap, M0, D] int8, nbr_scale [cap, M0] f32,
         nbr_sq [cap, M0] f32) — the
         neighborhood-materialized traversal layout
         (graph.make_neighborhood_tables): each node's neighbors' vectors

@@ -323,7 +323,8 @@ def beam_search_pallas(
     seed_scores: jax.Array,  # [B, ef] f32 ascending (INF padded)
     seed_ids: jax.Array,  # [B, ef] i32 (-1 padded)
     meta_packed: jax.Array,  # [cap, W] i32 (pack_meta)
-    nbr_vecs: jax.Array,  # [cap, M0*D] i8 (reshaped to [cap, M0, D])
+    nbr_vecs: jax.Array,  # [cap, M0, D] i8 (3-D end to end — reshaping
+    # a 2-D table here would relayout all of it per call: 13.3 ms at 1M)
     *,
     ef: int,
     expand: int,
@@ -346,7 +347,7 @@ def beam_search_pallas(
         seed_ids = jnp.concatenate(
             [seed_ids, jnp.full((pad, ef), -1, jnp.int32)])
     meta_w = meta_packed.shape[1]
-    nbr_vecs = nbr_vecs.reshape(nbr_vecs.shape[0], m0, d)
+    assert nbr_vecs.ndim == 3, nbr_vecs.shape
     grid = (b // TB,)
     kernel = functools.partial(
         _kernel, ef=ef, expand=expand, m0=m0, d=d, max_steps=max_steps,

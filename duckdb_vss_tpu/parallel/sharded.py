@@ -388,7 +388,7 @@ def _nbr_tables_sharded(vectors, vec_sq, neighbors0, *, mesh):
         shard_fn, mesh=mesh,
         in_specs=(P("shard", None, None), P("shard", None),
                   P("shard", None, None)),
-        out_specs=(P("shard", None, None), P("shard", None, None),
+        out_specs=(P("shard", None, None, None), P("shard", None, None),
                    P("shard", None, None), P("shard", None, None)),
     )(vectors, vec_sq, neighbors0)
 
@@ -429,10 +429,14 @@ def _search_sharded_hnsw(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,
 
     sh3 = P("shard", None, None)
     sh2 = P("shard", None)
+    # nbr_vecs is [S, cap, M0, D] when present (3-D per shard, end to
+    # end — see make_neighborhood_tables), a [S, 1, 1] placeholder when
+    # not; spec rank follows the value
+    nv_spec = P("shard", *([None] * (nbr_vecs.ndim - 1)))
     return jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(_GRAPH_SPEC, sh3, sh2, sh2, sh3, sh3, sh2, P("q", None),
-                  sh3, sh3, sh3, sh3),
+                  nv_spec, sh3, sh3, sh3),
         out_specs=(P("q", None), P("q", None)),
         check_vma=False,  # replicated over "shard" post-merge
     )(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,

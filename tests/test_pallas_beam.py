@@ -46,7 +46,7 @@ def _replica(queries, q_sq, seed_s, seed_i, nbr, v_scale, v_sq, vecs_i8,
         nb = jnp.take(nbr, safe, axis=0).reshape(b, c)
         vs = jnp.take(v_scale, safe, axis=0).reshape(b, c)
         vq = jnp.take(v_sq, safe, axis=0).reshape(b, c)
-        cand = jnp.take(vecs_i8, safe, axis=0).reshape(
+        cand = jnp.take(vecs_i8, safe, axis=0).reshape(  # [B,E,M0,D] i8
             b, c, d).astype(jnp.bfloat16)
         prod = cand * queries.astype(jnp.bfloat16)[:, None, :]
         dot = jnp.sum(prod.astype(jnp.float32), axis=-1) * vs
