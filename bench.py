@@ -144,6 +144,38 @@ def main():
     qps = max(iter_qps)
     qps_median = float(np.median(iter_qps))
 
+    # secondary high-recall operating point (>=0.99 target; round-1
+    # verdict asked for >=60k QPS at >=0.99): continue the sweep upward
+    # from the chosen ef and time the first point that clears it
+    hi = None
+    if rec < 0.99:
+        for ef2 in (32, 48, 64, 96, 128):
+            if ef2 <= ef:
+                continue
+            kw2 = dict(expand=4, n_seeds=8, chunk=8192,
+                       max_steps=steps_of.get(ef2))
+            _, got2 = idx.search(q[:n_gt], k, ef=ef2, **kw2)
+            r2 = recall_at_k(got2, gt)
+            print(f"# ef={ef2}: recall@10={r2:.4f}", file=sys.stderr,
+                  flush=True)
+            hi = (ef2, r2, kw2)
+            if r2 >= 0.99:
+                break
+    else:
+        hi = (ef, rec, kw)
+    hi_qps = hi_rec = hi_ef = None
+    if hi is not None:
+        ef2, hi_rec, kw2 = hi
+        hi_ef = ef2
+        idx.search(q, k, ef=ef2, **kw2)  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            idx.search(q, k, ef=ef2, **kw2)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        hi_qps = nq / best
+
     # device-resident throughput (queries already in HBM): on production
     # hardware H2D rides PCIe (~0.5 ms for this batch); in THIS bench
     # environment the TPU sits behind a shared HTTP tunnel whose
@@ -216,6 +248,9 @@ def main():
         "recall_at_10": round(rec, 4),
         "ef_search": ef,
         "device_resident_qps": round(dev_qps, 1),
+        "high_recall_qps": round(hi_qps, 1) if hi_qps else None,
+        "high_recall_at_10": round(hi_rec, 4) if hi_rec else None,
+        "high_recall_ef": hi_ef,
         "baseline_qps_measured_cpu": (round(cpu_qps, 1)
                                       if cpu_qps else None),
         "baseline_recall_at_10": (round(cpu_rec, 4)
