@@ -809,11 +809,11 @@ def _finish_search(state, vectors, vec_sq, valid_mask, queries, q_sq,
         precision=lax.Precision.HIGHEST,
     )
     exact = jnp.where(live & (scores < INF_SCORE), exact, INF_SCORE)
-    ord0 = jnp.argsort(-ids, axis=1, stable=True)
-    exact = jnp.take_along_axis(exact, ord0, axis=1)
-    ids = jnp.take_along_axis(ids, ord0, axis=1)
-    pos = jnp.argsort(exact, axis=1, stable=True)[:, :k]
-    out_s = jnp.take_along_axis(exact, pos, axis=1)
-    out_i = jnp.take_along_axis(ids, pos, axis=1)
+    # one lexicographic sort on (score asc, id desc) replaces the round-2
+    # double stable-argsort + three take_alongs (measured 4.3 ms of the
+    # 7.6 ms finish at B=8192, ef=16 — /tmp micro-probe, round 3)
+    out_s, neg_i = lax.sort((exact, -ids), dimension=1, num_keys=2)
+    out_s = out_s[:, :k]
+    out_i = -neg_i[:, :k]
     out_i = jnp.where(out_s >= INF_SCORE, -1, out_i)
     return out_s, out_i, n_dist

@@ -21,6 +21,60 @@ from duckdb_vss_tpu.utils.config import MetricKind
 from duckdb_vss_tpu.utils.padding import INF_SCORE
 
 
+def exact_topk_small(s: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact ascending top-k (smallest scores) of ``s`` [B, N] for small k.
+
+    lax.top_k on TPU pays a full-width partial sort per row (~9.5 ms for
+    [8192, 16384] k=10 — round-3 micro-probe); this does a two-level
+    tournament instead: fold N into 128 bins (one [B, N] min-reduce),
+    then k cheap extraction passes over the [B, 128] bin table, each
+    re-reducing only the 128-wide bin the winner came from. Exact for
+    any input; ~6x faster at the bench shapes. Ties resolve to the
+    lowest index (same as lax.top_k).
+
+    N must be a multiple of 128 (callers pad with INF_SCORE).
+    """
+    b, n = s.shape
+    nb = 128
+    w = n // nb
+    assert n % nb == 0, (n, nb)
+    s3 = s.reshape(b, nb, w)
+    bin_min = jnp.min(s3, axis=2)  # [B, nb]
+    bin_pos = jnp.argmin(s3, axis=2).astype(jnp.int32)  # [B, nb]
+    rows = jnp.arange(b)
+    lane3 = jnp.arange(w, dtype=jnp.int32)[None, :, None]  # [1, w, 1]
+
+    def extract(j, carry):
+        bin_min, bin_pos, out_s, out_i = carry
+        g = jnp.argmin(bin_min, axis=1).astype(jnp.int32)  # [B]
+        sc = jnp.min(bin_min, axis=1)
+        pos = jnp.take_along_axis(bin_pos, g[:, None], axis=1)[:, 0]
+        gid = g * w + pos
+        out_s = out_s.at[:, j].set(sc)
+        out_i = out_i.at[:, j].set(gid)
+        # winner's bin: mask EVERY extraction taken from it so far
+        # (including this one — s3 is never written, so each regather
+        # must re-mask all of the bin's extracted elements), re-reduce
+        bin_row = jnp.take_along_axis(s3, g[:, None, None], axis=1)[:, 0]
+        taken_in_bin = (out_i // w == g[:, None]) & (
+            jnp.arange(out_i.shape[1])[None, :] <= j)
+        taken_pos = jnp.where(taken_in_bin, out_i % w, -1)  # [B, k]
+        bin_row = jnp.where(
+            jnp.any(lane3 == taken_pos[:, None, :], axis=2),
+            INF_SCORE, bin_row)
+        new_min = jnp.min(bin_row, axis=1)
+        new_pos = jnp.argmin(bin_row, axis=1).astype(jnp.int32)
+        bin_min = bin_min.at[rows, g].set(new_min)
+        bin_pos = bin_pos.at[rows, g].set(new_pos)
+        return bin_min, bin_pos, out_s, out_i
+
+    out_s = jnp.full((b, k), INF_SCORE, s.dtype)
+    out_i = jnp.full((b, k), -1, jnp.int32)
+    _, _, out_s, out_i = lax.fori_loop(
+        0, k, extract, (bin_min, bin_pos, out_s, out_i))
+    return out_s, out_i
+
+
 def merge_topk(
     scores_a: jax.Array,
     ids_a: jax.Array,
@@ -61,8 +115,11 @@ def flat_topk_dense(
     if valid is not None:
         s = jnp.where(valid[None, :], s, INF_SCORE)
     kk = min(k, n)
-    neg_top, ids = lax.top_k(-s, kk)
-    scores = -neg_top
+    if kk <= 32 and n % 128 == 0:
+        scores, ids = exact_topk_small(s, kk)
+    else:
+        neg_top, ids = lax.top_k(-s, kk)
+        scores = -neg_top
     if kk < k:
         b = scores.shape[0]
         scores = jnp.concatenate(
@@ -140,10 +197,14 @@ def flat_topk(
             neg_top, pos = lax.approx_max_k(-s, kc,
                                             recall_target=approx_recall)
             pos = pos.astype(jnp.int32)
+            blk_s = -neg_top
+        elif kc <= 32:  # block_n is a power of two >= 128
+            blk_s, pos = exact_topk_small(s, kc)
         else:
             neg_top, pos = lax.top_k(-s, kc)
+            blk_s = -neg_top
         blk_ids = pos.astype(jnp.int32) + off
-        return 0, (-neg_top, blk_ids)
+        return 0, (blk_s, blk_ids)
 
     _, (all_s, all_i) = lax.scan(
         step, 0, (v_blocks, sq_blocks, valid_blocks, offsets)

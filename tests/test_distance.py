@@ -89,3 +89,34 @@ def test_score_to_function_value(rng, metric):
     want = np.stack(
         [np.asarray(fn(np.repeat(qi[None], 8, 0), v)) for qi in q])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_topk_small_matches_lax_topk(rng):
+    """The two-level tournament selection must be EXACT — identical
+    scores to lax.top_k on adversarial inputs (duplicates, clustered
+    bins, all-equal rows)."""
+    import jax.numpy as jnp
+    from jax import lax as _lax
+
+    from duckdb_vss_tpu.ops.topk import exact_topk_small
+
+    for b, n, k in ((64, 1024, 10), (16, 128, 5), (8, 2048, 32)):
+        s = rng.normal(size=(b, n)).astype(np.float32)
+        # adversarial rows: duplicates inside one bin, constants, and a
+        # row where the global top-k all land in a single bin
+        s[0] = 1.0
+        s[1, :] = np.arange(n)[::-1]
+        s[2, 5:15] = -100.0  # ten best all in bin 0
+        if b > 3:
+            s[3, ::128] = -50.0  # one best per bin
+        got_s, got_i = exact_topk_small(jnp.asarray(s), k)
+        neg, want_i = _lax.top_k(jnp.asarray(-s), k)
+        np.testing.assert_allclose(np.asarray(got_s), -np.asarray(neg),
+                                   rtol=0, atol=0)
+        # ids must point at elements with those exact scores
+        picked = np.take_along_axis(s, np.asarray(got_i), axis=1)
+        np.testing.assert_allclose(picked, np.asarray(got_s), rtol=0,
+                                   atol=0)
+        # no duplicate ids per row
+        ii = np.asarray(got_i)
+        assert all(len(set(r.tolist())) == k for r in ii)
