@@ -26,7 +26,6 @@ import numpy as np
 
 from duckdb_vss_tpu.models.flat import FlatIndex
 from duckdb_vss_tpu.models.hnsw import HNSWIndex
-from duckdb_vss_tpu.ops.topk import flat_topk
 from duckdb_vss_tpu.sql import expr as E
 from duckdb_vss_tpu.sql import plan as P
 from duckdb_vss_tpu.utils.config import (
