@@ -100,12 +100,13 @@ def main():
 
     idx = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=bb,
                     build_expand=2)
-    # ship query batches as int8 (~4x fewer H2D bytes than f32; the
-    # tunnel makes transfer the e2e bound —
-    # benchmarks/attribute_search.py). Recall is measured below against
-    # exact ground truth USING this transfer dtype, so the quantization
-    # is accounted for in the reported operating point.
-    idx.query_transfer_dtype = os.environ.get("DVT_QUERY_TRANSFER", "int8")
+    # ship query batches as bf16 (half the H2D bytes; the tunnel makes
+    # transfer the e2e bound — benchmarks/attribute_search.py). int8
+    # transfer exists but MEASURED 1.5pp recall@10 cost at ef=16 and a
+    # ~0.973 plateau across all ef (the quantized query changes the true
+    # neighbor set) — not worth the extra 2x H2D saving. Recall below is
+    # measured against exact ground truth USING the transfer dtype.
+    idx.query_transfer_dtype = os.environ.get("DVT_QUERY_TRANSFER", "bf16")
     t0 = time.time()
     idx.add(vecs, np.arange(n))
     build_s = time.time() - t0
