@@ -223,3 +223,23 @@ def test_sharded_bf16_scalar_kind(rng, mesh8):
     assert idx2._vectors.dtype == jnp.bfloat16
     _, got2 = idx2.search(q, k, ef=48)
     np.testing.assert_array_equal(got, got2)
+
+
+def test_sharded_neighborhood_layout(monkeypatch):
+    """The per-shard int8 neighborhood layout + fused-kernel path (4-D
+    nbr_vecs specs) must work under shard_map — it is CPU-gated off by
+    default, so force it (regression: the round-3 3-D table change
+    touched every spec on this path)."""
+    import numpy as np
+    from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex, make_mesh
+    from duckdb_vss_tpu.utils.config import HNSWConfig
+
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(0)
+    n, d = 4096, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    idx = ShardedHNSWIndex(d, HNSWConfig(), mesh, capacity_per_shard=2048)
+    idx.layout = "neighborhood"
+    idx.add(vecs, np.arange(n))
+    _, keys = idx.search(vecs[:8], 5)
+    assert float(np.mean(keys[:, 0] == np.arange(8))) >= 0.9
