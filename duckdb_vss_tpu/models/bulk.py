@@ -716,6 +716,10 @@ def bulk_build(
 
     _mark("phase2_prune")
     # ---- 2.5 connectivity repair ------------------------------------
+    # the kNN tables and reverse lists are dead now but still ~4 GB of
+    # live locals at 10M rows — free them before the label propagation
+    # (its [N]-temp program still needs headroom on a 12.58M-cap build)
+    del knn_ids_j, knn_sc_j, rev
     labels = _component_labels(neighbors0, valid)
     labels_np = np.asarray(jax.device_get(labels))
     if host_vectors is not None:

@@ -106,3 +106,22 @@ def test_duplicate_key_rejected(rng):
     idx.add(np.ones((1, 4), np.float32), [7])
     with pytest.raises(ValueError):
         idx.add(np.ones((1, 4), np.float32), [7])
+
+
+def test_prepare_queries_transfer_dtypes(rng):
+    """bf16/int8 transfer modes dequantize on device to near-f32 rows."""
+    from duckdb_vss_tpu.models.flat import FlatIndex
+    from duckdb_vss_tpu.utils.config import MetricKind
+
+    fi = FlatIndex(32, MetricKind.L2SQ, capacity=64)
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    exact = np.asarray(fi.prepare_queries(q))[:5, :32]
+    np.testing.assert_allclose(exact, q, rtol=0, atol=0)
+    bf = np.asarray(fi.prepare_queries(q, transfer_dtype="bf16"))[:5, :32]
+    np.testing.assert_allclose(bf, q, rtol=8e-3, atol=1e-3)
+    i8 = np.asarray(fi.prepare_queries(q, transfer_dtype="int8"))[:5, :32]
+    np.testing.assert_allclose(i8, q, rtol=3e-2, atol=3e-2)
+    # zero rows survive (scale guard)
+    z = np.asarray(fi.prepare_queries(np.zeros((2, 32), np.float32),
+                                      transfer_dtype="int8"))
+    assert not np.isnan(z).any() and float(np.abs(z).max()) == 0.0
