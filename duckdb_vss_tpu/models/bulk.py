@@ -705,7 +705,7 @@ def bulk_build(
     rev = _reverse_candidates(
         knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
-    for off in range(0, n, prune_chunk):
+    for ci, off in enumerate(range(0, n, prune_chunk)):
         chunk = slots_j[off : off + prune_chunk]
         pad = prune_chunk - chunk.shape[0]
         if pad:
@@ -713,6 +713,13 @@ def bulk_build(
         neighbors0 = _bulk_prune_step(
             neighbors0, knn_ids_j, knn_sc_j, rev, un, upper_slot_j,
             vectors, vec_sq, chunk, slots_j, m0, m, metric)
+        if (ci & 63) == 63:
+            # drain the in-order queue: dispatch is async on this
+            # backend and every enqueued chunk pins a [cap, M0] output
+            # buffer — at 10M rows (~1.6 GB each, 1200+ chunks) the
+            # backlog alone exhausts HBM (config-5 OOM, round 3). One
+            # tiny fetch per 64 chunks bounds it (~25 ms RTT each).
+            jax.device_get(neighbors0[0, 0])
 
     _mark("phase2_prune")
     # ---- 2.5 connectivity repair ------------------------------------
