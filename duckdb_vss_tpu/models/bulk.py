@@ -336,6 +336,10 @@ def _refine_knn(vectors_bf, vec_sq, knn_ids, knn_sc, slots_j, qb, metric):
         # see earlier refinements, same as the reference NN-descent)
         knn_ids, knn_sc = _refine_seg_scatter(
             knn_ids, knn_sc, sl_j, upd_ids, upd_sc)
+        # drain the dispatch queue: every enqueued segment pins fresh
+        # [cap, K] output tables (3.2 GB each at 10M rows) until it
+        # runs — without the barrier the backlog alone exhausts HBM
+        jax.device_get(knn_ids[0, 0])
     return knn_ids, knn_sc
 
 
@@ -704,6 +708,8 @@ def bulk_build(
         rev_cols = min(rev_cols, REV_SRC_COLS)
     rev = _reverse_candidates(
         knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
+    jax.device_get(rev[0, 0])  # drain (the rank pass's edge-list
+    # argsorts hold ~6 flattened-int32 temporaries of cap*K elements)
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
     for ci, off in enumerate(range(0, n, prune_chunk)):
         chunk = slots_j[off : off + prune_chunk]
@@ -713,7 +719,7 @@ def bulk_build(
         neighbors0 = _bulk_prune_step(
             neighbors0, knn_ids_j, knn_sc_j, rev, un, upper_slot_j,
             vectors, vec_sq, chunk, slots_j, m0, m, metric)
-        if (ci & 63) == 63:
+        if (ci & 15) == 15:
             # drain the in-order queue: dispatch is async on this
             # backend and every enqueued chunk pins a [cap, M0] output
             # buffer — at 10M rows (~1.6 GB each, 1200+ chunks) the
