@@ -704,8 +704,12 @@ def bulk_build(
     rev_cols = knn_ids_j.shape[1]
     if cap * rev_cols > REV_SRC_MAX:
         # rev_r is the per-TARGET kept count — independent of how many
-        # source columns feed requests, so the cap need not exceed it
-        rev_cols = min(rev_cols, REV_SRC_COLS)
+        # source columns feed requests, so the cap need not exceed it.
+        # Bound the TOTAL edge count (the sort workspace scales with it
+        # and sits on top of ~8 GB of resident tables at 10M rows —
+        # fixed 12 cols still OOMed config 5 in round 3), floor 4.
+        by_budget = max(4, REV_SRC_MAX // (2 * cap))
+        rev_cols = min(rev_cols, REV_SRC_COLS, by_budget)
     rev = _reverse_candidates(
         knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
     jax.device_get(rev[0, 0])  # drain (the rank pass's edge-list
