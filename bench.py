@@ -233,8 +233,14 @@ def main():
             if r >= TARGET_RECALL:
                 break
         cb.search(q[:256], k, ef=cpu_ef)  # warm threads
-        _, secs = cb.search(q[:n_cpu], k, ef=cpu_ef)
-        cpu_qps = n_cpu / secs
+        # same statistic as the TPU side (best-of-N): the headline QPS
+        # above is max over 7 iterations, so the baseline gets the max
+        # over repeated runs too rather than a single sample
+        best_secs = None
+        for _ in range(3):
+            _, secs = cb.search(q[:n_cpu], k, ef=cpu_ef)
+            best_secs = secs if best_secs is None else min(best_secs, secs)
+        cpu_qps = n_cpu / best_secs
     except Exception as e:  # baseline failure must not kill the bench
         print(f"# cpu baseline failed: {e}", file=sys.stderr, flush=True)
 
@@ -264,11 +270,16 @@ def main():
         "baseline_qps_estimate": REFERENCE_QPS_ESTIMATE,
         # north-star framing: the target is >=10x the reference's
         # single-node QPS "on one v5e-8" (8 chips); this bench runs on
-        # ONE chip, so the per-pod number is value x 8 x the measured
-        # sharded scaling efficiency (MULTICHIP/tests cover the sharded
-        # path). vs_baseline above stays the honest per-chip ratio.
+        # ONE chip, so the per-pod number is value x 8 x an ASSUMED 0.9
+        # sharded scaling efficiency (not measured in this run — the
+        # virtual-mesh scaling curve in BENCH_r04 is the measured
+        # stand-in). vs_baseline above stays the honest per-chip ratio;
+        # note also the baseline host has only 4 cores (BASELINE.md) —
+        # a 32-core production host would shrink vs_baseline ~8x.
         "vs_baseline_v5e8_extrapolated": (
             round(8 * 0.9 * qps / baseline, 1) if baseline else None),
+        "v5e8_scaling_efficiency_assumed": 0.9,
+        "baseline_cpu_cores": os.cpu_count(),
         "tunnel_h2d_mbps": round(h2d_mbps, 1),
         "tunnel_rtt_ms": round(rtt_ms, 1),
         "build_vectors_per_s": round(build_vps, 1),

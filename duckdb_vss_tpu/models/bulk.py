@@ -168,7 +168,11 @@ def _reverse_candidates(knn_ids, knn_scores, rev_r):
 
     For every edge (u -> v) record u as a candidate of v, keeping the
     rev_r closest per target (rank-within-group over the sorted edge
-    list — the same machinery as the incremental back-link rounds)."""
+    list — the same machinery as the incremental back-link rounds).
+
+    This single-program variant argsorts the whole flattened edge list
+    (~6 int32/f32 temporaries of N*K elements) — fine up to ~32M edges;
+    the 10M-row build routes through _reverse_candidates_chunked."""
     n, kk = knn_ids.shape
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk)
     tgt = knn_ids.reshape(-1)
@@ -180,6 +184,98 @@ def _reverse_candidates(knn_ids, knn_scores, rev_r):
     row = jnp.where(keep, tgt, jnp.int32(2**30))
     col = jnp.where(keep, ranks, 0)
     return out.at[row, col].set(jnp.where(keep, src, -1), mode="drop")
+
+
+# chunked reverse pass (config-5 scale): edges processed per chunk of
+# source rows, per-target top-rev_r maintained in a running [cap, rev_r]
+# table. Per-chunk sort temporaries are bounded by REV_EDGE_CHUNK edges
+# instead of the full cap*K list whose global argsort RESOURCE_EXHAUSTED
+# the 10M build in round 3 (63M edges, ~3 GB of sort workspace on top of
+# ~8 GB resident tables).
+REV_EDGE_CHUNK = 12 * 1024 * 1024
+REV_MERGE_SEG = 1 << 20  # rows per merge segment (bounds [seg, 2R] temps)
+
+
+def _pow2_divisor(cap: int, target: int, base: int = 16384) -> int:
+    """Largest base*2^j <= target that divides cap (0 if none).
+
+    Store capacities are multiples of the 16384 block size (FlatIndex
+    rounds up), so a power-of-two multiple of the block divides cap."""
+    if cap % base != 0:
+        return 0
+    d = base
+    while d * 2 <= min(target, cap) and cap % (d * 2) == 0:
+        d *= 2
+    return d if d <= cap else 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rev_r", "rows_chunk", "n_cols", "seg"))
+def _reverse_chunk_step(knn_ids, knn_sc, off, best_ids, best_sc,
+                        rev_r, rows_chunk, n_cols, seg):
+    """One source-row chunk of the chunked reverse pass: rank the chunk's
+    edges within their target groups, scatter the per-chunk winners into
+    a [cap, rev_r] chunk table, then merge it into the running tables
+    segment-by-segment (a target's global top-rev_r is a subset of the
+    union of its per-chunk top-rev_r's, so the merge is exact)."""
+    cap, kk = knn_ids.shape
+    ids_c = lax.dynamic_slice(knn_ids, (off, 0), (rows_chunk, kk))[:, :n_cols]
+    sc_c = lax.dynamic_slice(knn_sc, (off, 0), (rows_chunk, kk))[:, :n_cols]
+    src = off + jnp.arange(rows_chunk, dtype=jnp.int32)
+    tgt = ids_c.reshape(-1)
+    dist = sc_c.reshape(-1)
+    srcf = jnp.repeat(src, n_cols)
+    act = tgt >= 0
+    ranks = _group_ranks(jnp.where(act, tgt, -1), dist)
+    keep = act & (ranks < rev_r)
+    row = jnp.where(keep, tgt, jnp.int32(2**30))
+    col = jnp.where(keep, ranks, 0)
+    chunk_ids = jnp.full((cap, rev_r), -1, jnp.int32).at[row, col].set(
+        jnp.where(keep, srcf, -1), mode="drop")
+    chunk_sc = jnp.full((cap, rev_r), INF_SCORE, jnp.float32).at[
+        row, col].set(jnp.where(keep, dist, INF_SCORE), mode="drop")
+
+    def merge_seg(si, carry):
+        b_ids, b_sc = carry
+        start = si * seg
+        cur_i = lax.dynamic_slice(b_ids, (start, 0), (seg, rev_r))
+        cur_s = lax.dynamic_slice(b_sc, (start, 0), (seg, rev_r))
+        new_i = lax.dynamic_slice(chunk_ids, (start, 0), (seg, rev_r))
+        new_s = lax.dynamic_slice(chunk_sc, (start, 0), (seg, rev_r))
+        cat_i = jnp.concatenate([cur_i, new_i], axis=1)
+        cat_s = jnp.concatenate([cur_s, new_s], axis=1)
+        order = jnp.argsort(cat_s, axis=1)
+        m_i = jnp.take_along_axis(cat_i, order, axis=1)[:, :rev_r]
+        m_s = jnp.take_along_axis(cat_s, order, axis=1)[:, :rev_r]
+        m_i = jnp.where(m_s < INF_SCORE, m_i, -1)
+        return (lax.dynamic_update_slice(b_ids, m_i, (start, 0)),
+                lax.dynamic_update_slice(b_sc, m_s, (start, 0)))
+
+    return lax.fori_loop(0, cap // seg, merge_seg, (best_ids, best_sc))
+
+
+def _reverse_candidates_chunked(knn_ids, knn_sc, rev_r, n_cols):
+    """Chunked-edge-list variant of _reverse_candidates (same result:
+    per-target rev_r closest sources, closest first, -1 padded)."""
+    cap = knn_ids.shape[0]
+    rows_target = max(16384, REV_EDGE_CHUNK // max(n_cols, 1))
+    rows_chunk = _pow2_divisor(cap, rows_target)
+    seg = _pow2_divisor(cap, REV_MERGE_SEG)
+    if rows_chunk == 0 or seg == 0:  # non-block-rounded capacity
+        return _reverse_candidates(
+            knn_ids[:, :n_cols], knn_sc[:, :n_cols], rev_r)
+    best_ids = jnp.full((cap, rev_r), -1, jnp.int32)
+    best_sc = jnp.full((cap, rev_r), INF_SCORE, jnp.float32)
+    for ci, off in enumerate(range(0, cap, rows_chunk)):
+        best_ids, best_sc = _reverse_chunk_step(
+            knn_ids, knn_sc, jnp.int32(off), best_ids, best_sc,
+            rev_r, rows_chunk, n_cols, seg)
+        if (ci & 1) == 1:
+            # bound the dispatch backlog: every enqueued step pins fresh
+            # [cap, rev_r] output tables until it runs (see _refine_knn)
+            jax.device_get(best_ids[0, 0])
+    del best_sc  # the prune step rescores candidates itself
+    return best_ids
 
 
 # ---------------------------------------------------------------------------
@@ -309,8 +405,14 @@ _refine_seg_compute = functools.partial(
     jax.jit, static_argnames=("qb", "metric"))(_refine_seg_compute_impl)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def _refine_seg_scatter(knn_ids, knn_sc, sl_seg, upd_ids, upd_sc):
+    """Donated scatter: the [cap, K] tables update IN PLACE. Without
+    donation each segment's scatter materialized fresh 10M-scale tables
+    while the old pair was still live (2x 3.2 GB transient at K=32) —
+    one of the two round-3 phase-1.5 OOM causes. Donation skips the
+    persistent compile cache on this backend, but this program is a
+    trivial scatter (sub-second compile)."""
     rows = jnp.where(sl_seg >= 0, sl_seg, jnp.int32(2**30))
     return (knn_ids.at[rows].set(upd_ids, mode="drop"),
             knn_sc.at[rows].set(upd_sc, mode="drop"))
@@ -695,25 +797,22 @@ def bulk_build(
                 metric)
         _mark(f"phase1.5_refine(x{rounds})")
     # ---- 2. reverse candidates + diversity prune to M0 --------------
-    # the rank-within-target grouping argsorts over cap*K flattened
-    # edges (~6 int32 temporaries of that length); above REV_SRC_MAX
-    # edges only the closest REV_SRC_COLS forward ranks contribute
-    # reverse candidates — far forward edges almost never survive the
-    # target's diversity prune anyway, and the cap keeps the 10M-row
-    # build inside one chip's HBM
+    # beyond REV_SRC_MAX flattened edges: (a) only the closest
+    # REV_SRC_COLS forward ranks contribute reverse candidates (far
+    # forward edges almost never survive the target's diversity prune),
+    # and (b) the rank pass runs CHUNKED — per-source-chunk group ranks
+    # merged through a running [cap, rev_r] table — instead of one
+    # global argsort over the edge list, whose ~3 GB sort workspace
+    # RESOURCE_EXHAUSTED the 10M build in round 3 even at 5 columns
     rev_cols = knn_ids_j.shape[1]
     if cap * rev_cols > REV_SRC_MAX:
-        # rev_r is the per-TARGET kept count — independent of how many
-        # source columns feed requests, so the cap need not exceed it.
-        # Bound the TOTAL edge count (the sort workspace scales with it
-        # and sits on top of ~8 GB of resident tables at 10M rows —
-        # fixed 12 cols still OOMed config 5 in round 3), floor 4.
-        by_budget = max(4, REV_SRC_MAX // (2 * cap))
-        rev_cols = min(rev_cols, REV_SRC_COLS, by_budget)
-    rev = _reverse_candidates(
-        knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
-    jax.device_get(rev[0, 0])  # drain (the rank pass's edge-list
-    # argsorts hold ~6 flattened-int32 temporaries of cap*K elements)
+        rev_cols = min(rev_cols, REV_SRC_COLS)
+        rev = _reverse_candidates_chunked(
+            knn_ids_j, knn_sc_j, rev_r, rev_cols)
+    else:
+        rev = _reverse_candidates(
+            knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
+    jax.device_get(rev[0, 0])  # drain before the prune loop starts
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
     for ci, off in enumerate(range(0, n, prune_chunk)):
         chunk = slots_j[off : off + prune_chunk]
@@ -728,7 +827,7 @@ def bulk_build(
             # backend and every enqueued chunk pins a [cap, M0] output
             # buffer — at 10M rows (~1.6 GB each, 1200+ chunks) the
             # backlog alone exhausts HBM (config-5 OOM, round 3). One
-            # tiny fetch per 64 chunks bounds it (~25 ms RTT each).
+            # tiny fetch per 16 chunks bounds it (~25 ms RTT each).
             jax.device_get(neighbors0[0, 0])
 
     _mark("phase2_prune")

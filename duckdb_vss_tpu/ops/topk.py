@@ -33,6 +33,13 @@ def exact_topk_small(s: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     lowest index (same as lax.top_k).
 
     N must be a multiple of 128 (callers pad with INF_SCORE).
+
+    Contract for INF-padded rows: when a row has fewer than k finite
+    scores, the tail positions carry INF_SCORE with DUPLICATE/arbitrary
+    ids (a fully-masked bin re-reduces to position 0, which can win
+    again) — unlike lax.top_k, which returns distinct indices. Callers
+    must mask results by ``score >= INF_SCORE`` (flat.py does) rather
+    than relying on id uniqueness at padded positions.
     """
     b, n = s.shape
     nb = 128
@@ -198,7 +205,7 @@ def flat_topk(
                                             recall_target=approx_recall)
             pos = pos.astype(jnp.int32)
             blk_s = -neg_top
-        elif kc <= 32:  # block_n is a power of two >= 128
+        elif kc <= 32 and block_n % 128 == 0:
             blk_s, pos = exact_topk_small(s, kc)
         else:
             neg_top, pos = lax.top_k(-s, kc)

@@ -223,14 +223,15 @@ static void beam_level(const cpu_hnsw_graph* g, const float* q, int lv,
             [](const Cand& a, const Cand& b) { return a.dist < b.dist; });
 }
 
-// usearch refine_ diversity rule: keep candidate c iff it is closer to
-// the node than to every already-kept neighbor; spare slots backfill
-// with the closest pruned candidates (keep-pruned semantics)
+// usearch refine_ diversity rule (index.hpp:3601-3638): keep candidate
+// c iff it is closer to the node than to every already-kept neighbor.
+// The reference SHRINKS to the diversity-passing set — no backfill of
+// pruned candidates (keepPruned is an hnswlib option usearch does not
+// implement), so neither does this baseline.
 static void refine_select(const cpu_hnsw_graph* g,
                           const std::vector<Cand>& cands, int m_out,
                           std::vector<Cand>& kept) {
   kept.clear();
-  std::vector<Cand> pruned;
   for (const Cand& c : cands) {
     if ((int)kept.size() >= m_out) break;
     bool ok = true;
@@ -242,14 +243,7 @@ static void refine_select(const cpu_hnsw_graph* g,
         break;
       }
     }
-    if (ok)
-      kept.push_back(c);
-    else
-      pruned.push_back(c);
-  }
-  for (const Cand& c : pruned) {
-    if ((int)kept.size() >= m_out) break;
-    kept.push_back(c);
+    if (ok) kept.push_back(c);
   }
 }
 
