@@ -133,6 +133,25 @@ class ShardedFlatIndex:
         return _scatter_sharded(vectors, vec_sq, valid, batch_v,
                                 batch_slots, mesh=self.mesh)
 
+    def reserve(self, capacity_per_shard: int) -> None:
+        """Grow every shard's capacity (mirrors ShardedHNSWIndex.reserve;
+        the reference's exclusive-lock resize, hnsw_index.cpp:410-431)."""
+        new_cap = 1 << (int(capacity_per_shard) - 1).bit_length()
+        if new_cap <= self.cap:
+            return
+        s, pad = self.n_shards, new_cap - self.cap
+        sh3 = NamedSharding(self.mesh, P("shard", None, None))
+        sh2 = NamedSharding(self.mesh, P("shard", None))
+        self._vectors = jax.device_put(
+            jnp.pad(self._vectors, ((0, 0), (0, pad), (0, 0))), sh3)
+        self._vec_sq = jax.device_put(
+            jnp.pad(self._vec_sq, ((0, 0), (0, pad))), sh2)
+        self._valid = jax.device_put(
+            jnp.pad(self._valid, ((0, 0), (0, pad))), sh2)
+        self._keys = np.concatenate(
+            [self._keys, np.full((s, pad), -1, np.int64)], axis=1)
+        self.cap = new_cap
+
     def add(self, vectors: np.ndarray, keys: np.ndarray) -> None:
         vectors = np.asarray(vectors, np.float32)
         keys = np.asarray(keys, np.int64).reshape(-1)
@@ -140,7 +159,7 @@ class ShardedFlatIndex:
         s = self.n_shards
         max_n = max((shards == i).sum() + self._counts[i] for i in range(s))
         if max_n > self.cap:
-            raise ValueError("shard capacity exceeded; grow not implemented")
+            self.reserve(int(max_n))
         per_shard = [np.nonzero(shards == i)[0] for i in range(s)]
         bb = 4096  # scatter batch (on-device; no host round trip)
         slot_lists = []
@@ -735,24 +754,34 @@ class ShardedHNSWIndex:
                 mesh=self.mesh)
 
         # bulk load into empty shards: per-shard local MXU bulk build
-        # (on a real pod each host builds its partition locally; only
-        # search needs collectives), then stack the per-shard graphs
+        # over the shard's DEVICE-RESIDENT store slice — the stacked
+        # store never round-trips the host (round 3 device_get the
+        # whole [S, cap, D] array and re-uploaded per shard; at
+        # config-5 scale that is minutes through a 55 MB/s link).
+        # `_vectors[i]` is an XLA slice of the sharded array: data moves
+        # device-to-device (or not at all when the slice's owner is the
+        # build device). The per-shard loop is sequential here because
+        # this is a single controller; on a real pod the same code runs
+        # SPMD multi-controller — each host executes ONLY its own
+        # shard's bulk_build over its local slice (the reference's
+        # fully-parallel construct-task analog,
+        # hnsw_index_physical_create.cpp:231-243) and only search needs
+        # collectives. The repair phase's host_vectors come from the
+        # caller's input rows (already on host), not from the store.
         graphs_empty = int(np.asarray(
             jax.device_get(self.graph.max_level)).max()) < 0
         if graphs_empty and len(keys) >= 4096:
             from duckdb_vss_tpu.models.bulk import bulk_build
 
             states = []
-            host_v = np.asarray(jax.device_get(self._vectors))
-            host_q = np.asarray(jax.device_get(self._vec_sq))
             for i in range(s):
                 sl = slot_lists[i]
                 lv = self._sample_levels(len(sl))
                 states.append(bulk_build(
-                    jnp.asarray(host_v[i]), jnp.asarray(host_q[i]),
+                    self._vectors[i], self._vec_sq[i],
                     sl.astype(np.int32), lv, self.config,
                     self.config.metric,
-                    host_vectors=host_v[i][sl][:, : self.dims]))
+                    host_vectors=vectors[per_shard[i]]))
             self.graph = self._stack_graphs(states)
             self._invalidate()
             return
@@ -908,22 +937,40 @@ class ShardedHNSWIndex:
         return self._upper_cache, (self._nbr_cache if use_nbr else None)
 
     def _nbr_budget_ok(self) -> bool:
+        """Per-DEVICE accounting: each mesh device holds exactly ONE
+        shard's int8 table (sharded over "shard", replicated over "q"),
+        so the check is per-shard bytes vs the per-chip HBM budget.
+        Round 3 summed the table across shards — correct only for the
+        single-host virtual mesh where every "device" shares one RAM,
+        and wrong on a pod: it disabled the fused-kernel fast path at
+        exactly the config-5 scale where sharding 8-way (5 GB/shard)
+        restores it (benchmarks/deep10m.py memory story). On the CPU
+        virtual mesh the shards DO share host memory, so there the sum
+        over process-local mesh devices still applies."""
         import os as _os
         m0 = self.graph.neighbors0.shape[2]
         per_shard = self.cap * m0 * self.d_pad  # int8
         budget = float(_os.environ.get("DVT_NBR_BUDGET_GB", "6")) * (1 << 30)
-        return per_shard * self.n_shards <= budget
+        if jax.default_backend() == "cpu":
+            local = sum(1 for d in self.mesh.devices.flat
+                        if d.process_index == jax.process_index())
+            return per_shard * max(local, 1) <= budget
+        return per_shard <= budget
 
     def search(self, queries: np.ndarray, k: int, ef: int | None = None,
-               expand: int = 4):
+               expand: int = 4, chunk: int = 8192):
+        """SPMD top-k. Large batches are chunked HOST-SIDE like the
+        single-chip path (models/hnsw.py search): one compiled program
+        per chunk-size bucket (not per total batch shape), bounded
+        per-program intermediates, overlapped dispatch across chunks,
+        and a single device_get for all results."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
         b = queries.shape[0]
         n_q = self.mesh.shape["q"]
-        b_pad = round_up(max(b, 1), max(8, n_q))
-        q = jnp.asarray(pad_2d_np(queries, b_pad, self.d_pad))
-        q = jax.device_put(q, self._sh("q", None))
+        q_mult = max(8, n_q)
+        chunk = round_up(max(int(chunk), q_mult), q_mult)
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
         (uv, uvsq), nbr = self._tables()
         has_nbr = nbr is not None
@@ -936,13 +983,24 @@ class ShardedHNSWIndex:
             nv = jax.device_put(nv, self._sh("shard", None, None))
             nsc = nsq = nmeta = nv
             trav = self._trav_cache
-        scores, gids = jax.device_get(_search_sharded_hnsw(
-            self.graph, self._vectors, self._vec_sq, self._valid, trav,
-            uv, uvsq, q, nv, nsc, nsq, nmeta, mesh=self.mesh,
-            metric=self.config.metric, cap=self.cap, k=int(k), ef=ef_eff,
-            expand=expand,
-            pallas_beam=self.use_pallas_beam and has_nbr, has_nbr=has_nbr))
-        scores, gids = scores[:b], gids[:b]
+        outs = []
+        for off in range(0, b, chunk):
+            qc = queries[off : off + chunk]
+            b_pad = round_up(max(len(qc), 1), q_mult)
+            q = jnp.asarray(pad_2d_np(qc, b_pad, self.d_pad))
+            q = jax.device_put(q, self._sh("q", None))
+            outs.append((_search_sharded_hnsw(
+                self.graph, self._vectors, self._vec_sq, self._valid,
+                trav, uv, uvsq, q, nv, nsc, nsq, nmeta, mesh=self.mesh,
+                metric=self.config.metric, cap=self.cap, k=int(k),
+                ef=ef_eff, expand=expand,
+                pallas_beam=self.use_pallas_beam and has_nbr,
+                has_nbr=has_nbr), len(qc)))
+        fetched = jax.device_get([o for o, _ in outs])
+        scores = np.concatenate(
+            [s[:nb] for (s, _), (_, nb) in zip(fetched, outs)])
+        gids = np.concatenate(
+            [g[:nb] for (_, g), (_, nb) in zip(fetched, outs)])
         keys = np.full(gids.shape, -1, np.int64)
         ok = gids >= 0
         keys[ok] = self._keys.reshape(-1)[gids[ok]]

@@ -243,3 +243,38 @@ def test_sharded_neighborhood_layout(monkeypatch):
     idx.add(vecs, np.arange(n))
     _, keys = idx.search(vecs[:8], 5)
     assert float(np.mean(keys[:, 0] == np.arange(8))) >= 0.9
+
+
+def test_sharded_flat_grow(mesh8, rng):
+    """ShardedFlatIndex grows past its initial capacity via reserve()
+    (round-3 raised 'grow not implemented')."""
+    n1, n2, d, k = 3000, 3000, 16, 5
+    sf = ShardedFlatIndex(d, MetricKind.L2SQ, mesh8,
+                          capacity_per_shard=1024)
+    v = rng.normal(size=(n1 + n2, d)).astype(np.float32)
+    sf.add(v[:n1], np.arange(n1))
+    cap_before = sf.cap
+    sf.add(v[n1:], np.arange(n1, n1 + n2))  # exceeds 1024/shard
+    assert sf.cap > cap_before
+    ref = FlatIndex(d, MetricKind.L2SQ, capacity=n1 + n2)
+    ref.add(v, np.arange(n1 + n2))
+    q = rng.normal(size=(9, d)).astype(np.float32)
+    _, k_got = sf.search(q, k)
+    _, k_want = ref.search(q, k)
+    np.testing.assert_array_equal(np.sort(k_got, 1), np.sort(k_want, 1))
+
+
+def test_sharded_search_chunked_matches_unchunked(mesh8):
+    """Host-side chunking of the sharded search (chunk < batch) must
+    return exactly the same results as one whole-batch program."""
+    rng = np.random.default_rng(29)
+    n, d, k = 4000, 32, 10
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    sh = ShardedHNSWIndex(d, HNSWConfig(), mesh8, capacity_per_shard=2048,
+                          build_batch=128)
+    sh.add(v, np.arange(n))
+    q = rng.normal(size=(100, d)).astype(np.float32)
+    s1, k1 = sh.search(q, k, ef=64, chunk=32)
+    s2, k2 = sh.search(q, k, ef=64, chunk=1024)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
