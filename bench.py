@@ -52,6 +52,44 @@ def make_data(rng, n, d, n_centers=4096, sigma=0.25, chunk=200_000):
     return out, centers
 
 
+def make_hard_data(rng, n, d, nq, n_centers=4096, chunk=200_000):
+    """Adversarial generator for the distribution-sensitivity leg
+    (round-3 verdict: all operating points rested on ONE isotropic
+    sigma=0.25 generator). Mixture of cluster scales sigma in
+    {0.1, 0.25, 0.5} per center, 15% of rows fully off-cluster
+    (isotropic N(0,1) — same scale as the centers themselves, so they
+    sit BETWEEN clusters), and queries drawn 85% near-cluster /
+    15% off-cluster. Returns (vecs, queries)."""
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    c_sigma = rng.choice(np.float32([0.1, 0.25, 0.5]), n_centers)
+    out = np.empty((n, d), np.float32)
+    for off in range(0, n, chunk):
+        m = min(chunk, n - off)
+        asg = rng.integers(0, n_centers, m)
+        rows = (centers[asg] + c_sigma[asg, None] * rng.normal(
+            size=(m, d)).astype(np.float32))
+        off_cluster = rng.random(m) < 0.15
+        rows[off_cluster] = rng.normal(
+            size=(int(off_cluster.sum()), d)).astype(np.float32)
+        out[off:off + m] = rows
+    qa = rng.integers(0, n_centers, nq)
+    q = (centers[qa] + c_sigma[qa, None] * rng.normal(
+        size=(nq, d)).astype(np.float32))
+    q_off = rng.random(nq) < 0.15
+    q[q_off] = rng.normal(size=(int(q_off.sum()), d)).astype(np.float32)
+    return out, q
+
+
+def exact_gt(vecs, q, k, chunk=100):
+    v2 = (vecs * vecs).sum(1)
+    gt = np.empty((len(q), k), np.int64)
+    for i in range(0, len(q), chunk):
+        dots = q[i:i + chunk] @ vecs.T
+        d2 = v2[None, :] - 2.0 * dots
+        gt[i:i + chunk] = np.argsort(d2, 1)[:, :k]
+    return gt
+
+
 def recall_at_k(got, want):
     hits = sum(len(set(g) & set(w)) for g, w in zip(got.tolist(),
                                                     want.tolist()))
@@ -194,6 +232,56 @@ def main():
         iters=10)
     dev_qps = 8192 / secs
 
+    # distribution-sensitivity leg (round-3 verdict item 5): rebuild on
+    # the HARD generator (mixed cluster scales + off-cluster rows and
+    # queries) and sweep to the same recall target. Reported as its own
+    # operating point; a big ef gap between the two generators is the
+    # honest measure of how generator-flattered the headline is.
+    hard = None
+    if os.environ.get("DVT_BENCH_HARD", "1") == "1":
+        rng_h = np.random.default_rng(4321)
+        t0 = time.time()
+        hvecs, hq = make_hard_data(rng_h, n, d, nq)
+        hgt = exact_gt(hvecs, hq[:n_gt], k)
+        hgen_s = time.time() - t0
+        del idx  # free the easy index's HBM (store + 4 GB nbr table)
+        idx_h = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=bb,
+                          build_expand=2)
+        idx_h.query_transfer_dtype = os.environ.get("DVT_QUERY_TRANSFER",
+                                                    "bf16")
+        t0 = time.time()
+        idx_h.add(hvecs, np.arange(n))
+        hbuild_s = time.time() - t0
+        h_chosen = None
+        for hef in (16, 24, 32, 48, 64, 96, 128):
+            hkw = dict(expand=4, n_seeds=8, chunk=8192,
+                       max_steps=steps_of.get(hef))
+            _, hgot = idx_h.search(hq[:n_gt], k, ef=hef, **hkw)
+            hr = recall_at_k(hgot, hgt)
+            print(f"# hard ef={hef}: recall@10={hr:.4f}", file=sys.stderr,
+                  flush=True)
+            h_chosen = (hef, hr, hkw)
+            if hr >= TARGET_RECALL:
+                break
+        hef, hrec, hkw = h_chosen
+        idx_h.search(hq, k, ef=hef, **hkw)  # warm
+        hbest = None
+        for _ in range(3):
+            t0 = time.time()
+            idx_h.search(hq, k, ef=hef, **hkw)
+            dt = time.time() - t0
+            hbest = dt if hbest is None else min(hbest, dt)
+        hard = {
+            "recall_at_10": round(hrec, 4),
+            "ef_search": hef,
+            "qps_e2e": round(nq / hbest, 1),
+            "build_seconds": round(hbuild_s, 1),
+            "gen_gt_seconds": round(hgen_s, 1),
+            "generator": ("mixed sigma {0.1,0.25,0.5} clusters + 15% "
+                          "off-cluster rows and queries"),
+        }
+        del idx_h
+
     # quantify the bench environment: H2D bandwidth + fetch RTT of the
     # shared TPU tunnel (the e2e/device gap is this link, not the
     # architecture — production H2D rides PCIe at GB/s)
@@ -280,6 +368,7 @@ def main():
             round(8 * 0.9 * qps / baseline, 1) if baseline else None),
         "v5e8_scaling_efficiency_assumed": 0.9,
         "baseline_cpu_cores": os.cpu_count(),
+        "hard_dist": hard,
         "tunnel_h2d_mbps": round(h2d_mbps, 1),
         "tunnel_rtt_ms": round(rtt_ms, 1),
         "build_vectors_per_s": round(build_vps, 1),

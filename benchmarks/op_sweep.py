@@ -54,22 +54,39 @@ def main():
         return np.mean([len(set(a) & set(b)) / k
                         for a, b in zip(got[:n_gt].tolist(), gt.tolist())])
 
-    grid = [
-        (16, 4, 8), (16, 4, 6), (16, 2, 10), (16, 2, 12), (16, 2, 8),
-        (32, 4, 16), (32, 4, 10), (32, 2, 16), (32, 2, 20),
-        (48, 4, 24), (48, 2, 24),
-        (64, 4, 32), (64, 2, 32),
-    ]
-    for ef, expand, steps in grid:
+    # (ef, expand, steps, n_seeds); DVT_SWEEP=hi runs the >=0.99-recall
+    # envelope hunt (round-3 verdict item 3: the ef=64 fixed 24-step
+    # schedule lands at ~150k device QPS — find the cheapest schedule
+    # and seed count that clears 0.99, target >=170k)
+    if os.environ.get("DVT_SWEEP", "") == "hi":
+        grid = [
+            (64, 4, 24, 8),  # round-3 operating point (reference)
+            (64, 4, 20, 8), (64, 4, 16, 8), (64, 4, 12, 8),
+            (64, 8, 12, 8), (64, 8, 10, 8), (64, 8, 8, 8),
+            (64, 4, 16, 16), (64, 4, 12, 16), (64, 8, 8, 16),
+            (64, 8, 10, 16), (64, 8, 12, 16),
+            (48, 4, 16, 8), (48, 8, 10, 8), (48, 8, 12, 16),
+            (96, 8, 10, 8), (96, 8, 12, 8), (96, 8, 10, 16),
+        ]
+    else:
+        grid = [
+            (16, 4, 8, 8), (16, 4, 6, 8), (16, 2, 10, 8), (16, 2, 12, 8),
+            (16, 2, 8, 8),
+            (32, 4, 16, 8), (32, 4, 10, 8), (32, 2, 16, 8), (32, 2, 20, 8),
+            (48, 4, 24, 8), (48, 2, 24, 8),
+            (64, 4, 32, 8), (64, 2, 32, 8),
+        ]
+    for ef, expand, steps, n_seeds in grid:
         try:
             _, keys = idx.search(q, k, ef=ef, expand=expand,
-                                 max_steps=steps, chunk=8192)
+                                 max_steps=steps, n_seeds=n_seeds,
+                                 chunk=8192)
             r = recall(keys)
             t0 = time.perf_counter()
             iters = 4
             for _ in range(iters):
                 idx.search(q, k, ef=ef, expand=expand, max_steps=steps,
-                           chunk=8192)
+                           n_seeds=n_seeds, chunk=8192)
             e2e = nq * iters / (time.perf_counter() - t0)
             # device-resident timing (completion-barriered; plain
             # block_until_ready returns at dispatch on this backend —
@@ -78,12 +95,14 @@ def main():
             jax.block_until_ready(qd)
             secs = device_time(
                 lambda: idx.search_device(qd, k, ef=ef, expand=expand,
-                                          max_steps=steps),
+                                          max_steps=steps,
+                                          n_seeds=n_seeds),
                 iters=max(iters, 8))
             dev = nq / secs
-            print(f"ef={ef:3d} expand={expand} steps={steps:2d}: "
-                  f"recall@10={r:.4f} e2e={e2e / 1e3:7.1f}k "
-                  f"dev={dev / 1e3:7.1f}k QPS", flush=True)
+            print(f"ef={ef:3d} expand={expand} steps={steps:2d} "
+                  f"seeds={n_seeds:2d}: recall@10={r:.4f} "
+                  f"e2e={e2e / 1e3:7.1f}k dev={dev / 1e3:7.1f}k QPS",
+                  flush=True)
         except Exception as e:
             print(f"ef={ef} expand={expand} steps={steps}: FAILED {e}",
                   flush=True)

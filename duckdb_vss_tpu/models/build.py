@@ -285,6 +285,9 @@ def insert_batch_impl(
     expand: int = 2,
     r_rounds: int = 4,
     prune: str = "diversity",
+    nbr_vecs: jax.Array | None = None,  # int8 neighborhood layout for the
+    nbr_scale: jax.Array | None = None,  # base-layer candidate search
+    nbr_sq: jax.Array | None = None,  # (graph.make_neighborhood_tables)
 ) -> tuple[GraphState, jax.Array]:
     """Insert a batch of new nodes. Returns (state, n_dist counter).
 
@@ -292,6 +295,14 @@ def insert_batch_impl(
     search_to_insert_ (beam) -> refine_ (diversity selection) ->
     connect_new_node_ (forward edges) -> reconnect_neighbor_nodes_
     (back edges) — but for a whole batch at once.
+
+    When the int8 neighborhood tables are given, the base-layer beam
+    scores candidates through them (contiguous per-node tiles + int8
+    MXU dots — the same fast path search uses) instead of per-candidate
+    store gathers; the CALLER must keep the tables consistent with
+    neighbors0 across batches (graph.update_neighborhood_rows).
+    Traversal ranking picks up ~0.4%-of-row-max quantization noise; the
+    diversity selection and back-link pruning still rescore exactly.
     """
     b = new_slots.shape[0]
     active = new_slots >= 0
@@ -420,6 +431,7 @@ def insert_batch_impl(
     scores, ids, nd = beam_search(
         state, vectors, vec_sq, q, q_sq, seed_ids, ef_construction, metric,
         level=0, expand=expand, active=active,
+        nbr_vecs=nbr_vecs, nbr_scale=nbr_scale, nbr_sq=nbr_sq,
     )
     n_dist = n_dist + nd
     self_hit = ids == new_slots[:, None]

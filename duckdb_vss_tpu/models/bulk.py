@@ -192,7 +192,7 @@ def _reverse_candidates(knn_ids, knn_scores, rev_r):
 # instead of the full cap*K list whose global argsort RESOURCE_EXHAUSTED
 # the 10M build in round 3 (63M edges, ~3 GB of sort workspace on top of
 # ~8 GB resident tables).
-REV_EDGE_CHUNK = 12 * 1024 * 1024
+REV_EDGE_CHUNK = 8 * 1024 * 1024
 REV_MERGE_SEG = 1 << 20  # rows per merge segment (bounds [seg, 2R] temps)
 
 
@@ -210,14 +210,21 @@ def _pow2_divisor(cap: int, target: int, base: int = 16384) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rev_r", "rows_chunk", "n_cols", "seg"))
+    jax.jit, static_argnames=("rev_r", "rows_chunk", "n_cols", "seg"),
+    donate_argnums=(3, 4))
 def _reverse_chunk_step(knn_ids, knn_sc, off, best_ids, best_sc,
                         rev_r, rows_chunk, n_cols, seg):
     """One source-row chunk of the chunked reverse pass: rank the chunk's
     edges within their target groups, scatter the per-chunk winners into
     a [cap, rev_r] chunk table, then merge it into the running tables
     segment-by-segment (a target's global top-rev_r is a subset of the
-    union of its per-chunk top-rev_r's, so the merge is exact)."""
+    union of its per-chunk top-rev_r's, so the merge is exact).
+
+    The running tables are DONATED: without donation every step holds
+    input + output copies of both [cap, rev_r] tables (round 4's first
+    10M attempt OOMed here with ~8 GB of build state resident). All
+    steps share one executable, so the donation compile-cache penalty
+    is paid once."""
     cap, kk = knn_ids.shape
     ids_c = lax.dynamic_slice(knn_ids, (off, 0), (rows_chunk, kk))[:, :n_cols]
     sc_c = lax.dynamic_slice(knn_sc, (off, 0), (rows_chunk, kk))[:, :n_cols]
@@ -266,14 +273,14 @@ def _reverse_candidates_chunked(knn_ids, knn_sc, rev_r, n_cols):
             knn_ids[:, :n_cols], knn_sc[:, :n_cols], rev_r)
     best_ids = jnp.full((cap, rev_r), -1, jnp.int32)
     best_sc = jnp.full((cap, rev_r), INF_SCORE, jnp.float32)
-    for ci, off in enumerate(range(0, cap, rows_chunk)):
+    for off in range(0, cap, rows_chunk):
         best_ids, best_sc = _reverse_chunk_step(
             knn_ids, knn_sc, jnp.int32(off), best_ids, best_sc,
             rev_r, rows_chunk, n_cols, seg)
-        if (ci & 1) == 1:
-            # bound the dispatch backlog: every enqueued step pins fresh
-            # [cap, rev_r] output tables until it runs (see _refine_knn)
-            jax.device_get(best_ids[0, 0])
+        # drain EVERY step: the tables are donated (updated in place),
+        # but each enqueued step still pins its per-chunk scatter tables
+        # and sort temporaries until it runs (see _refine_knn)
+        jax.device_get(best_ids[0, 0])
     del best_sc  # the prune step rescores candidates itself
     return best_ids
 
@@ -807,6 +814,15 @@ def bulk_build(
     rev_cols = knn_ids_j.shape[1]
     if cap * rev_cols > REV_SRC_MAX:
         rev_cols = min(rev_cols, REV_SRC_COLS)
+        # [cap, rev_r] running + per-chunk scatter tables cost
+        # 4 * cap * rev_r * 4 bytes while ~10 GB of build state is
+        # resident; at 10M-cap scale rev_r=16 is the difference between
+        # fitting and RESOURCE_EXHAUSTED. 8 reverse candidates per node
+        # still feed the prune union alongside 32 forward + m highway
+        # edges (quality measured at 1M: recall delta within noise).
+        if cap > 8 * 1024 * 1024:
+            rev_r = min(rev_r, 8)
+        rev_r = int(_os.environ.get("DVT_BUILD_REV_R", rev_r))
         rev = _reverse_candidates_chunked(
             knn_ids_j, knn_sc_j, rev_r, rev_cols)
     else:

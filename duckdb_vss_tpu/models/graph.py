@@ -312,6 +312,46 @@ def make_neighborhood_tables(
     return table, scales, sq
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def update_neighborhood_rows(nbr_vecs, nbr_scale, nbr_sq, nbr_meta,
+                             vectors, vec_sq, neighbors0, new_slots):
+    """Refresh the neighborhood layout for the rows an insert batch
+    changed: the new nodes' own rows plus their forward targets (the
+    only rows `insert_batch` amends via back-links /
+    _force_nearest_backlink — both target subsets of the new nodes'
+    forward edge lists, which ARE neighbors0[new_slots] post-update).
+    B*(M0+1) row recomputes instead of a multi-GB table rebuild is what
+    makes the fused traversal layout usable DURING construction, not
+    just for reads (reference analog: usearch amends neighbor tapes in
+    place under per-node locks, index.hpp:3269-3313; here the batch
+    rewrites its changed rows after the functional graph step).
+
+    new_slots may contain -1 (inactive pad); duplicate rows are fine —
+    every duplicate writes identical values. Donated tables update in
+    place (same compile-cache caveat as _refine_seg_scatter: donated
+    executables skip the persistent cache; this program is tiny)."""
+    from duckdb_vss_tpu.ops.pallas_beam import pack_meta
+
+    nbr_new = jnp.take(neighbors0, jnp.maximum(new_slots, 0), axis=0)
+    fwd = jnp.where(new_slots[:, None] >= 0, nbr_new, -1).reshape(-1)
+    rows = jnp.concatenate([new_slots, fwd])  # [B*(M0+1)]
+    safe_rows = jnp.maximum(rows, 0)
+    nbr = jnp.take(neighbors0, safe_rows, axis=0)  # [R, M0]
+    safe = jnp.maximum(nbr, 0)
+    vrows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(vrows), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(vrows / scale[..., None]), -127, 127
+                  ).astype(jnp.int8)
+    sq = jnp.take(vec_sq, safe)  # unmasked, matching the full build
+    meta = pack_meta(nbr, scale, sq)
+    drop = jnp.where(rows >= 0, rows, jnp.int32(2**30))
+    return (nbr_vecs.at[drop].set(q8, mode="drop"),
+            nbr_scale.at[drop].set(scale, mode="drop"),
+            nbr_sq.at[drop].set(sq, mode="drop"),
+            nbr_meta.at[drop].set(meta, mode="drop"))
+
+
 def quantize_queries_i8(queries: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-query symmetric int8 quantization: (q8 [B, D], scale [B])."""
     absmax = jnp.max(jnp.abs(queries), axis=-1)

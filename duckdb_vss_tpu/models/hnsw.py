@@ -339,14 +339,21 @@ class HNSWIndex:
         keys = np.asarray(keys, np.int64).reshape(-1)
         n = vectors.shape[0]
         graph_empty = int(jax.device_get(self.graph.entry_node)) < 0
+        old_capacity = self.store.capacity
         self.reserve(self.store.size + n)
         _mark("reserve")
         slots = self.store.add(vectors, keys)
         _mark("store_add")
         self._trav_cache = None
         self._aug_cache = None
-        self._nbr_cache = None
         self._upper_cache = None
+        # the neighborhood layout stays VALID across adds (existing rows'
+        # neighbor lists are untouched by storing new vectors); the
+        # incremental path below keeps it consistent batch by batch via
+        # update_neighborhood_rows. Only a capacity grow (table shape
+        # change) or the bulk path (whole-graph rebuild) invalidates it.
+        if self.store.capacity != old_capacity:
+            self._nbr_cache = None
         if self.store.capacity > self.graph.capacity:
             self.graph = grow_graph(self.graph, self.store.capacity)
         levels = self._sample_levels(n)
@@ -377,6 +384,7 @@ class HNSWIndex:
             self.build_distance_count += bstats.get(
                 "n_distances", n * self.store.capacity)
             self.is_dirty = True
+            self._nbr_cache = None  # whole graph replaced
             if on_progress is not None:
                 on_progress(1.0)
             return slots
@@ -384,17 +392,33 @@ class HNSWIndex:
         bb = self.build_batch
         cfg = self.config
         nd_total = jnp.int32(0)
+        # fused incremental path: when the int8 neighborhood layout is
+        # active (budget-gated, TPU), each batch's base-layer candidate
+        # search runs through it — the same contiguous-tile + int8-MXU
+        # economics that carry search — and the batch then refreshes
+        # only its changed rows (<= B*(M0+1)) in the table
+        # (graph.update_neighborhood_rows). Falls back to per-candidate
+        # store gathers when the layout is off (CPU, over budget,
+        # DVT_LAYOUT=flat).
+        nv, nsc, nsq, nmeta = self._neighborhood_tables()
+        use_nbr = nv is not None
+        # the loop below donates these arrays into their own updates;
+        # drop the cache reference now so a mid-loop failure can't leave
+        # it pointing at donated (deleted) buffers
+        self._nbr_cache = None
+        from duckdb_vss_tpu.models.graph import update_neighborhood_rows
         for off in range(0, n, bb):
             batch_slots = np.full((bb,), -1, np.int32)
             batch_levels = np.zeros((bb,), np.int32)
             chunk = slots[off : off + bb]
             batch_slots[: len(chunk)] = chunk
             batch_levels[: len(chunk)] = levels[off : off + bb]
+            slots_j = jnp.asarray(batch_slots)
             self.graph, nd = insert_batch(
                 self.graph,
                 self.store._vectors,
                 self.store._vec_sq,
-                jnp.asarray(batch_slots),
+                slots_j,
                 jnp.asarray(batch_levels),
                 cfg.metric,
                 cfg.m,
@@ -402,10 +426,17 @@ class HNSWIndex:
                 cfg.ef_construction,
                 expand=self.build_expand,
                 prune=self.build_prune,
+                nbr_vecs=nv, nbr_scale=nsc, nbr_sq=nsq,
             )
+            if use_nbr:
+                nv, nsc, nsq, nmeta = update_neighborhood_rows(
+                    nv, nsc, nsq, nmeta, self.store._vectors,
+                    self.store._vec_sq, self.graph.neighbors0, slots_j)
             nd_total = nd_total + nd
             if on_progress is not None:
                 on_progress(min(1.0, (off + bb) / max(n, 1)))
+        if use_nbr:
+            self._nbr_cache = (nv, nsc, nsq, nmeta)
         self.build_distance_count += int(jax.device_get(nd_total))
         self.is_dirty = True
         return slots
@@ -506,7 +537,7 @@ class HNSWIndex:
 
     def search_device(self, queries_padded: jax.Array, k: int,
                       ef: int | None = None, expand: int = 4,
-                      max_steps: int | None = None):
+                      max_steps: int | None = None, n_seeds: int = 8):
         """Device-resident search: returns (scores, slots, n_dist)."""
         self._ensure_loaded()
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
@@ -519,7 +550,7 @@ class HNSWIndex:
         return _hnsw_search_jit(
             self.graph, self.store._vectors, self.store._vec_sq,
             self.store._valid, queries_padded, int(k), ef_eff, self.metric,
-            expand, max_steps=max_steps,
+            expand, max_steps=max_steps, n_seeds=n_seeds,
             traversal_vectors=(self._traversal_vectors()
                                if want_trav else None),
             descent=self.descent, upper_vecs=uv, upper_vec_sq=uvsq,

@@ -352,3 +352,39 @@ def test_incremental_insert_into_bulk_clustered_reachable():
     _, got = idx.search(new[:256], 1, ef=16)
     self_rec = float(np.mean(got[:, 0] == keys[:256]))
     assert self_rec >= 0.97, self_rec
+
+
+def test_incremental_insert_fused_layout_table_parity():
+    """Incremental insertion through the forced neighborhood layout must
+    (a) keep inserted nodes findable and (b) leave the incrementally
+    row-updated int8 tables EXACTLY equal to a from-scratch rebuild over
+    the final graph — the consistency contract of
+    graph.update_neighborhood_rows."""
+    import jax
+    import numpy as np
+    from duckdb_vss_tpu.models.graph import make_neighborhood_tables
+    from duckdb_vss_tpu.ops.pallas_beam import pack_meta
+
+    rng = np.random.default_rng(9)
+    n, n_new, d = 5000, 800, 32
+    v = rng.normal(size=(n + n_new, d)).astype(np.float32)
+    idx = HNSWIndex(d, HNSWConfig(), capacity=n + 2048, build_batch=128)
+    idx.layout = "neighborhood"
+    idx.add(v[:n], np.arange(n))  # bulk path (>= bulk_threshold)
+
+    keys = np.arange(100_000, 100_000 + n_new)
+    idx.add(v[n:], keys)  # incremental fused path + row updates
+    assert idx._nbr_cache is not None
+
+    nv, nsc, nsq, nmeta = idx._nbr_cache
+    fv, fsc, fsq = make_neighborhood_tables(
+        idx.store._vectors, idx.store._vec_sq, idx.graph.neighbors0)
+    fm = jax.jit(pack_meta)(idx.graph.neighbors0, fsc, fsq)
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(fv))
+    np.testing.assert_array_equal(np.asarray(nsc), np.asarray(fsc))
+    np.testing.assert_array_equal(np.asarray(nsq), np.asarray(fsq))
+    np.testing.assert_array_equal(np.asarray(nmeta), np.asarray(fm))
+
+    _, got = idx.search(v[n : n + 128], 1, ef=32)
+    self_rec = float(np.mean(got[:, 0] == keys[:128]))
+    assert self_rec >= 0.95, self_rec
