@@ -68,9 +68,8 @@ def main():
     ref.add(vecs, np.arange(n))
     _, want = ref.search(q[:512], k)
 
-    points = []
-    for s in (1, 2, 4, 8):
-        mesh = make_mesh(n_shards=s, n_q=1)
+    def run_point(s, n_q):
+        mesh = make_mesh(n_shards=s, n_q=n_q)
         idx = ShardedHNSWIndex(d, HNSWConfig(), mesh,
                                capacity_per_shard=max(2048, 2 * n // s))
         t0 = time.time()
@@ -85,24 +84,45 @@ def main():
             idx.search(q, k, ef=ef)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        points.append({"shards": s, "qps": round(nq / best, 1),
-                       "recall_at_10": round(rec, 4),
-                       "build_seconds": round(build_s, 1)})
-        print(f"# S={s}: qps={points[-1]['qps']} recall={rec:.4f} "
+        pt = {"shards": s, "q_dp": n_q, "qps": round(nq / best, 1),
+              "recall_at_10": round(rec, 4),
+              "build_seconds": round(build_s, 1)}
+        print(f"# S={s} q={n_q}: qps={pt['qps']} recall={rec:.4f} "
               f"build={build_s:.1f}s", file=sys.stderr, flush=True)
-        del idx
+        return pt
 
-    t1 = points[0]["qps"]
+    # axis 1 — vector sharding (the CAPACITY axis): fixed data split
+    # S ways. Per-query beam work is ~constant per SUBGRAPH (graph
+    # traversal shrinks only logarithmically with partition size), so
+    # total work GROWS toward S x single-index work; sharding buys
+    # memory capacity (e.g. the config-5 fused-path restoration), not
+    # throughput. The structural quantity is the per-shard work ratio:
+    # (QPS(S) * S) / QPS(1) — how much cheaper one shard's beam is on
+    # an N/S partition (graph-depth + early-exit savings).
+    shard_pts = [run_point(s, 1) for s in (1, 2, 4, 8)]
+    # axis 2 — query data-parallelism (the THROUGHPUT axis): the same
+    # full index replicated conceptually; queries split over the "q"
+    # mesh axis. On a pod this is the embarrassingly-parallel ~linear
+    # QPS axis (the x8 in bench.py's pod framing); on the shared-core
+    # virtual mesh ideal wall-clock is constant, so QPS(q=8)/QPS(q=1)
+    # measures pure SPMD structural overhead of the q axis.
+    qdp_pts = [run_point(1, nq_) for nq_ in (2, 4, 8)]
+
+    t1 = shard_pts[0]["qps"]
     out = {
         "metric": "sharded_virtual_mesh_scaling",
         "n": n, "dims": d, "query_batch": nq, "ef": ef,
-        "points": points,
-        "structural_efficiency_s8": round(points[-1]["qps"] / t1, 3),
-        "notes": ("fixed total data on a virtual 8-device CPU mesh "
-                  "sharing 4 cores: ideal wall-clock is CONSTANT across "
-                  "shard counts; efficiency = QPS(S)/QPS(1) measures "
-                  "SPMD structural overhead, not ICI scaling (no "
-                  "multi-chip hardware in this environment)"),
+        "shard_axis_points": shard_pts,
+        "query_dp_points": qdp_pts,
+        "per_shard_work_ratio_s8": round(
+            shard_pts[-1]["qps"] * 8 / t1, 3),
+        "query_dp_structural_efficiency_s8": round(
+            qdp_pts[-1]["qps"] / t1, 3),
+        "notes": ("virtual 8-device CPU mesh sharing 4 host cores (no "
+                  "multi-chip hardware): wall-clock ratios measure SPMD "
+                  "structure, not ICI. Sharding is the capacity axis "
+                  "(per-query work ~ S x subgraph beams); query-DP is "
+                  "the throughput axis (linear on a pod)."),
     }
     print(json.dumps(out), flush=True)
 

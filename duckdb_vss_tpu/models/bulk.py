@@ -830,20 +830,25 @@ def bulk_build(
             knn_ids_j[:, :rev_cols], knn_sc_j[:, :rev_cols], rev_r)
     jax.device_get(rev[0, 0])  # drain before the prune loop starts
     neighbors0 = jnp.full((cap, m0), -1, jnp.int32)
+    big_cap = cap > 4 * 1024 * 1024
+    prune_step = (_bulk_prune_step_donated if big_cap
+                  else _bulk_prune_step)
+    drain_mask = 3 if big_cap else 15
     for ci, off in enumerate(range(0, n, prune_chunk)):
         chunk = slots_j[off : off + prune_chunk]
         pad = prune_chunk - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate([chunk, jnp.full((pad,), -1, jnp.int32)])
-        neighbors0 = _bulk_prune_step(
+        neighbors0 = prune_step(
             neighbors0, knn_ids_j, knn_sc_j, rev, un, upper_slot_j,
             vectors, vec_sq, chunk, slots_j, m0, m, metric)
-        if (ci & 15) == 15:
+        if (ci & drain_mask) == drain_mask:
             # drain the in-order queue: dispatch is async on this
-            # backend and every enqueued chunk pins a [cap, M0] output
-            # buffer — at 10M rows (~1.6 GB each, 1200+ chunks) the
-            # backlog alone exhausts HBM (config-5 OOM, round 3). One
-            # tiny fetch per 16 chunks bounds it (~25 ms RTT each).
+            # backend and every enqueued chunk pins its temporaries
+            # (and, on the undonated variant, a fresh [cap, M0] output)
+            # until it runs — at 10M rows the backlog alone exhausts
+            # HBM (config-5 OOM, rounds 3-4). One tiny fetch per
+            # drain_mask+1 chunks bounds it (~25 ms RTT each).
             jax.device_get(neighbors0[0, 0])
 
     _mark("phase2_prune")
@@ -910,10 +915,9 @@ def _distance_cost(n, cap, lv_clamped, max_level, use_ivf, query_block,
     return nd
 
 
-@functools.partial(jax.jit, static_argnames=("m0", "m", "metric"))
-def _bulk_prune_step(neighbors0, knn_ids, knn_sc, rev, un, upper_slot,
-                     vectors, vec_sq, chunk_slots, live_slots, m0, m,
-                     metric):
+def _bulk_prune_step_impl(neighbors0, knn_ids, knn_sc, rev, un, upper_slot,
+                          vectors, vec_sq, chunk_slots, live_slots, m0, m,
+                          metric):
     safe = jnp.maximum(chunk_slots, 0)
     fwd_i = jnp.take(knn_ids, safe, axis=0)  # [CH, K]
     fwd_s = jnp.take(knn_sc, safe, axis=0)
@@ -950,6 +954,20 @@ def _bulk_prune_step(neighbors0, knn_ids, knn_sc, rev, un, upper_slot,
     sel = _prune_chunk(cand_i, cand_s, vectors, vec_sq, m0, metric)
     rows = jnp.where(chunk_slots >= 0, chunk_slots, jnp.int32(2**30))
     return neighbors0.at[rows].set(sel, mode="drop")
+
+
+# two jit variants of the prune step. Without donation every step holds
+# input + output copies of the [cap, M0] table AND every enqueued step
+# pins a fresh output until it runs — 1.61 GB each at 12.58M cap, the
+# phase-2 OOM that stopped the third round-4 10M attempt. The donated
+# variant updates in place (backlog pins only per-step temporaries) but
+# skips the persistent compile cache (TPU backend limitation), so the
+# 1M-class builds keep the cached undonated variant.
+_bulk_prune_step = functools.partial(
+    jax.jit, static_argnames=("m0", "m", "metric"))(_bulk_prune_step_impl)
+_bulk_prune_step_donated = functools.partial(
+    jax.jit, static_argnames=("m0", "m", "metric"),
+    donate_argnums=(0,))(_bulk_prune_step_impl)
 
 
 # ---------------------------------------------------------------------------
