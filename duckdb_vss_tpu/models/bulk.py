@@ -978,7 +978,6 @@ _bulk_prune_step_donated = functools.partial(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
 def _component_labels(neighbors, node_mask, max_iters=128):
     """Weakly-connected component labels via min-label propagation.
 
@@ -992,36 +991,59 @@ def _component_labels(neighbors, node_mask, max_iters=128):
     total vs 15.75 G HBM)."""
     n, m = neighbors.shape
     big = jnp.int32(2**30)
-    init = jnp.where(node_mask, jnp.arange(n, dtype=jnp.int32), big)
-
-    def step(carry):
-        labels, _, it = carry
-
-        def col_fwd(j, acc):
-            nb = lax.dynamic_slice_in_dim(neighbors, j, 1, axis=1)[:, 0]
-            has = nb >= 0
-            lab_nb = jnp.where(
-                has, jnp.take(labels, jnp.maximum(nb, 0)), big)
-            return jnp.minimum(acc, lab_nb)
-
-        # forward: node takes min over out-neighbor labels
-        fwd = lax.fori_loop(0, m, col_fwd, labels)
-
-        def col_rev(j, new):
-            nb = lax.dynamic_slice_in_dim(neighbors, j, 1, axis=1)[:, 0]
-            has = nb >= 0
-            return new.at[jnp.where(has, nb, n)].min(
-                jnp.where(has, fwd, big), mode="drop")
-
-        # reverse: scatter node label into its out-neighbors
-        new = lax.fori_loop(0, m, col_rev, fwd)
-        changed = jnp.any(new != labels)
-        return new, changed, it + 1
-
-    labels, _, _ = lax.while_loop(
-        lambda c: c[1] & (c[2] < max_iters), step,
-        (init, jnp.bool_(True), jnp.int32(0)))
+    labels = jnp.where(node_mask, jnp.arange(n, dtype=jnp.int32), big)
+    # HOST-STEPPED iteration: one device program per sweep, convergence
+    # checked on the host. The single-program while_loop variant ran
+    # every iteration inside ONE XLA execution — at 12.58M cap that is
+    # minutes of device time in one call, which the remote TPU worker
+    # kills ("worker crashed / kernel fault", the fourth round-4
+    # config-5 stopper). Per-sweep programs also bound the dispatch
+    # queue the same way the prune/refine drains do. Pointer-doubling
+    # hops (label <- label[label], a shortcut to each member's current
+    # component minimum) cut the iteration count from O(graph diameter)
+    # to O(log diameter): measured 1M clustered converges in 3 sweeps,
+    # and 10M in 4-5, vs ~15-30 edge-only sweeps.
+    for _ in range(max_iters):
+        labels, changed = _label_sweep(neighbors, node_mask, labels)
+        if not bool(jax.device_get(changed)):
+            break
     return labels
+
+
+@jax.jit
+def _label_sweep(neighbors, node_mask, labels):
+    """One min-label propagation sweep (edge fwd + rev, column-looped so
+    every temporary is [N]-sized) followed by 3 pointer-doubling hops.
+    Returns (new_labels, changed)."""
+    n, m = neighbors.shape
+    big = jnp.int32(2**30)
+
+    def col_fwd(j, acc):
+        nb = lax.dynamic_slice_in_dim(neighbors, j, 1, axis=1)[:, 0]
+        has = nb >= 0
+        lab_nb = jnp.where(has, jnp.take(labels, jnp.maximum(nb, 0)), big)
+        return jnp.minimum(acc, lab_nb)
+
+    # forward: node takes min over out-neighbor labels
+    fwd = lax.fori_loop(0, m, col_fwd, labels)
+
+    def col_rev(j, new):
+        nb = lax.dynamic_slice_in_dim(neighbors, j, 1, axis=1)[:, 0]
+        has = nb >= 0
+        return new.at[jnp.where(has, nb, n)].min(
+            jnp.where(has, fwd, big), mode="drop")
+
+    # reverse: scatter node label into its out-neighbors
+    new = lax.fori_loop(0, m, col_rev, fwd)
+
+    def hop(_, lab):
+        # label[i] is a slot in i's own component, so label[label[i]]
+        # is a valid (possibly smaller) member label — min is safe
+        lab2 = jnp.take(lab, jnp.clip(lab, 0, n - 1))
+        return jnp.where(node_mask, jnp.minimum(lab, lab2), big)
+
+    new = lax.fori_loop(0, 3, hop, new)
+    return new, jnp.any(new != labels)
 
 
 def _bridge_components(neighbors0, labels_np, host_vecs, slots):
