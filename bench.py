@@ -96,6 +96,16 @@ def recall_at_k(got, want):
     return hits / want.size
 
 
+def _load_deep10m():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "DEEP10M_r04.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def main():
     from duckdb_vss_tpu import HNSWConfig
     from duckdb_vss_tpu.models.hnsw import HNSWIndex
@@ -369,6 +379,10 @@ def main():
         "v5e8_scaling_efficiency_assumed": 0.9,
         "baseline_cpu_cores": os.cpu_count(),
         "hard_dist": hard,
+        # config-5 scale datapoint, recorded from this round's completed
+        # benchmarks/deep10m.py run (DEEP10M_r04.json artifact; not
+        # re-run here — the 10M build is ~10 min of chip time)
+        "deep10m": _load_deep10m(),
         "tunnel_h2d_mbps": round(h2d_mbps, 1),
         "tunnel_rtt_ms": round(rtt_ms, 1),
         "build_vectors_per_s": round(build_vps, 1),

