@@ -15,10 +15,43 @@ import jax as _jax
 # Persistent XLA compilation cache: TPU compiles of the scan/traversal
 # programs take minutes; cache them across processes. Disable by setting
 # DVT_NO_COMPILE_CACHE=1.
-if not _os.environ.get("DVT_NO_COMPILE_CACHE"):
+def _machine_tag() -> str:
+    """CPU-feature fingerprint suffix for the cache directory.
+
+    XLA:CPU cache entries are AOT artifacts compiled for the exact host
+    ISA; loading entries produced on a different machine emits
+    'Machine type ... doesn't match' warnings and can SIGILL/segfault
+    outright (observed: the full test suite segfaulted inside
+    backend_compile_and_load on a cache populated by a host with a
+    different avx512 feature set). Scoping the directory per
+    fingerprint makes a foreign cache invisible instead of fatal."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
+# CPU-only sessions (tests force jax_platforms=cpu before importing the
+# package) skip the persistent cache entirely: XLA:CPU gains little
+# (compiles are local and fast) and both directions of the cache have
+# bitten — loading foreign-host AOT entries can SIGILL, and writing
+# (serializing) certain CPU executables aborted the full test suite
+# inside put_executable_and_time. The cache exists for the tunneled TPU
+# compiles, which cost minutes per program.
+_platforms = str(getattr(_jax.config, "jax_platforms", None) or "")
+if not _os.environ.get("DVT_NO_COMPILE_CACHE") and _platforms != "cpu":
     _cache_dir = _os.environ.get(
         "DVT_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "duckdb_vss_tpu_xla"),
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "duckdb_vss_tpu_xla_" + _machine_tag()),
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -39,14 +39,16 @@ DEFAULT_BUILD_BATCH = 256
 @functools.partial(
     jax.jit, static_argnames=("k", "ef", "metric", "expand", "use_pallas",
                               "descent_ef", "n_seeds", "loop", "max_steps",
-                              "descent_steps", "descent", "pallas_beam"))
+                              "descent_steps", "descent", "pallas_beam",
+                              "hop_rerank"))
 def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                      expand=4, use_pallas=False, descent_ef=48, n_seeds=8,
                      loop="while", max_steps=None, descent_steps=16,
                      traversal_vectors=None, descent="beam",
                      upper_vecs=None, upper_vec_sq=None, aug_table=None,
                      nbr_vecs=None, nbr_scale=None, nbr_sq=None,
-                     nbr_meta=None, pallas_beam=False, upper_nodes=None):
+                     nbr_meta=None, pallas_beam=False, upper_nodes=None,
+                     hop_rerank=0):
     return search_graph(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         expand=expand, use_pallas=use_pallas,
                         descent_ef=descent_ef, n_seeds=n_seeds, loop=loop,
@@ -56,7 +58,7 @@ def _hnsw_search_jit(state, vectors, vec_sq, valid, queries, k, ef, metric,
                         aug_table=aug_table, nbr_vecs=nbr_vecs,
                         nbr_scale=nbr_scale, nbr_sq=nbr_sq,
                         nbr_meta=nbr_meta, pallas_beam=pallas_beam,
-                        upper_nodes=upper_nodes)
+                        upper_nodes=upper_nodes, hop_rerank=hop_rerank)
 
 
 @jax.jit
@@ -167,6 +169,15 @@ class HNSWIndex:
         # host->device bytes (see FlatIndex.prepare_queries)
         self.query_transfer_dtype = _os.environ.get("DVT_QUERY_TRANSFER",
                                                     "f32")
+        # one-hop exact rerank expansion at the search finish (number of
+        # top results expanded; 0 disables). Default OFF: measured on
+        # 1M x 128 clustered it recovers rank-boundary misses only at
+        # WEAK operating points (+0.5pp at ef=16/6 steps; ~0 at ef>=32)
+        # while its XLA-side batched scoring costs several beam-steps
+        # of device time (387k -> 77k dev QPS at ef=16). Useful opt-in
+        # when beam budget is tight or no fused layout exists; folding
+        # it into the Pallas kernel is the path to making it cheap.
+        self.hop_rerank = int(_os.environ.get("DVT_HOP_RERANK", "0"))
         self._level_rng = np.random.default_rng(seed)
         # observability counters (usearch add_result_t/search_result_t
         # computed_distances, index.hpp:2360-2370, discarded by the
@@ -479,10 +490,16 @@ class HNSWIndex:
         chunk: int = 8192,
         max_steps: int | None = None,
         loop: str = "while",
+        hop_rerank: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """ANN top-k. ef defaults to config.ef_search and may be overridden
         per call (the hnsw_ef_search session setting,
-        hnsw_index.cpp:288-299). Returns (scores, keys [B, k])."""
+        hnsw_index.cpp:288-299). Returns (scores, keys [B, k]).
+
+        hop_rerank (default: the index's hop_rerank attribute, off) adds
+        a one-hop exact rerank expansion at the finish — an opt-in that
+        recovers rank-boundary misses at weak operating points; see the
+        measured trade-off note at the attribute definition."""
         self._ensure_loaded()
         qarr = np.asarray(queries, np.float32)
         if qarr.ndim == 1:
@@ -491,6 +508,8 @@ class HNSWIndex:
         ef_eff = max(int(ef or self.config.ef_search), k)
         # bucket ef to limit distinct compiled programs
         ef_eff = round_up(ef_eff, 16)
+        hop = self.hop_rerank if hop_rerank is None else int(hop_rerank)
+        hop = min(hop, k)
         # big chunks amortize the per-dispatch round trip (measured:
         # chunk 8192 nearly doubles 1M-scale QPS over 2048); larger
         # requests are chunked host-side (dispatches overlap; one D2H
@@ -518,7 +537,7 @@ class HNSWIndex:
                 aug_table=(None if nv is not None else self._aug_table()),
                 nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,
                 pallas_beam=self.use_pallas_beam and nv is not None,
-                upper_nodes=unode),
+                upper_nodes=unode, hop_rerank=hop),
                 min(chunk, b - off)))
         # one device_get for every chunk's results (a fetch per chunk
         # costs a full tunnel round trip each)
@@ -537,9 +556,12 @@ class HNSWIndex:
 
     def search_device(self, queries_padded: jax.Array, k: int,
                       ef: int | None = None, expand: int = 4,
-                      max_steps: int | None = None, n_seeds: int = 8):
+                      max_steps: int | None = None, n_seeds: int = 8,
+                      hop_rerank: int | None = None):
         """Device-resident search: returns (scores, slots, n_dist)."""
         self._ensure_loaded()
+        hop = min(self.hop_rerank if hop_rerank is None
+                  else int(hop_rerank), k)
         ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
         uv, uvsq, unode = (self._upper_vectors()
                            if self.descent == "mxu"
@@ -557,7 +579,7 @@ class HNSWIndex:
             aug_table=(None if nv is not None else self._aug_table()),
             nbr_vecs=nv, nbr_scale=nscale, nbr_sq=nsq, nbr_meta=nmeta,
             pallas_beam=self.use_pallas_beam and nv is not None,
-            upper_nodes=unode)
+            upper_nodes=unode, hop_rerank=hop)
 
     # ------------------------------------------------------------------
     def compact(self) -> None:

@@ -415,10 +415,11 @@ def _nbr_tables_sharded(vectors, vec_sq, neighbors0, *, mesh):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "metric", "cap", "k", "ef", "expand",
-                     "pallas_beam", "has_nbr"))
+                     "pallas_beam", "has_nbr", "hop_rerank"))
 def _search_sharded_hnsw(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,
                          nbr_vecs, nbr_scale, nbr_sq, nbr_meta, *, mesh,
-                         metric, cap, k, ef, expand, pallas_beam, has_nbr):
+                         metric, cap, k, ef, expand, pallas_beam, has_nbr,
+                         hop_rerank=0):
     """SPMD search: per-shard graph search through the SAME fast path as
     the single-chip engine (MXU descent over the cached upper table,
     int8 neighborhood layout + fused Pallas beam kernel when present),
@@ -428,7 +429,7 @@ def _search_sharded_hnsw(graph, vectors, vec_sq, valid, trav, uv, uvsq, q,
                  nv, nsc, nsq, nmeta):
         st = _stack_state(graph)
         kwargs = dict(descent="mxu", upper_vecs=uv[0], upper_vec_sq=uvsq[0],
-                      expand=expand)
+                      expand=expand, hop_rerank=hop_rerank)
         if has_nbr:
             kwargs.update(nbr_vecs=nv[0], nbr_scale=nsc[0], nbr_sq=nsq[0],
                           nbr_meta=nmeta[0], pallas_beam=pallas_beam)
@@ -587,6 +588,9 @@ class ShardedHNSWIndex:
         self.layout = _os.environ.get("DVT_LAYOUT", "auto")
         self.use_pallas_beam = _os.environ.get("DVT_PALLAS_BEAM",
                                                "1") == "1"
+        # one-hop exact rerank at the finish (models/graph._finish_search;
+        # opt-in — see HNSWIndex.hop_rerank for the measured trade-off)
+        self.hop_rerank = int(_os.environ.get("DVT_HOP_RERANK", "0"))
         self.is_dirty = False
 
     # -- storage helpers --------------------------------------------------
@@ -995,7 +999,8 @@ class ShardedHNSWIndex:
                 metric=self.config.metric, cap=self.cap, k=int(k),
                 ef=ef_eff, expand=expand,
                 pallas_beam=self.use_pallas_beam and has_nbr,
-                has_nbr=has_nbr), len(qc)))
+                has_nbr=has_nbr,
+                hop_rerank=min(self.hop_rerank, int(k))), len(qc)))
         fetched = jax.device_get([o for o, _ in outs])
         scores = np.concatenate(
             [s[:nb] for (s, _), (_, nb) in zip(fetched, outs)])
