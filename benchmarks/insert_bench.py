@@ -35,6 +35,11 @@ def main():
 
     new_vecs = (centers[rng.integers(0, 4096, n_ins)]
                 + 0.25 * rng.normal(size=(n_ins, d)).astype(np.float32))
+    # warm-up rows must be DISTINCT from the timed rows: inserting the
+    # same vector twice makes self-recall@1 measure which twin's
+    # in-links win the exact-score tie, not insertion quality
+    warm_vecs = (centers[rng.integers(0, 4096, 4096)]
+                 + 0.25 * rng.normal(size=(4096, d)).astype(np.float32))
 
     for bb in (256, 1024, 2048, 4096):
         if os.path.exists(cache):
@@ -55,7 +60,7 @@ def main():
         # warm the insert program shape on a throwaway batch (also
         # builds the int8 neighborhood table the fused path inserts
         # through — excluded from the timed region like the compile)
-        idx.add(new_vecs[:bb], 10_000_000 + np.arange(bb))
+        idx.add(warm_vecs[:bb], 10_000_000 + np.arange(bb))
         t0 = time.time()
         idx.add(new_vecs, keys)
         dt = time.time() - t0

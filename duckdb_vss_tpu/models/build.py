@@ -222,6 +222,82 @@ def _apply_backlinks(
     return lax.fori_loop(0, rounds_needed, round_fn, table)
 
 
+def _apply_backlinks_batched(
+    table: jax.Array,  # [T, Mcap] neighbor table being amended
+    vectors: jax.Array,
+    vec_sq: jax.Array,
+    tgt: jax.Array,  # [P] target node id
+    src: jax.Array,  # [P] new neighbor to add
+    act: jax.Array,  # [P] bool
+    tgt_row: jax.Array,  # [P] row index into table
+    metric: MetricKind,
+    r_rounds: int,  # max requests merged per target (rank cap)
+    prune: str = "diversity",
+    col_off=None,
+    m_cap: int | None = None,
+) -> jax.Array:
+    """Single-pass batched variant of _apply_backlinks.
+
+    The round-based resolver applies one request per target per round —
+    r_rounds SEQUENTIAL (gather + merge + sort + diversity-prune +
+    scatter) passes, measured at ~100 ms each for P=32k requests at 1M
+    scale, the dominant cost of incremental insertion (round-4 probe:
+    r_rounds 4 -> 1 cut a 738 ms batch to 435 ms, but rank>=2 conflicts
+    are common on clustered inserts and dropping them costs self-recall
+    0.999 -> 0.971). This variant instead merges a target's current row
+    with ALL of its (up to r_rounds closest) requests at once and runs
+    ONE diversity prune over the union — ~1.2x one round's cost for the
+    same information. Semantics: a valid diversity prune of
+    row ∪ {srcs}; the sequential rounds compute prune(prune(row∪s0)∪s1)
+    — both are usearch-compatible resolutions of concurrent
+    reconnect_neighbor_nodes_ (index.hpp:3269-3313), which under thread
+    interleaving admits many orders anyway."""
+    if m_cap is None:
+        m_cap = table.shape[1]
+    rr = r_rounds
+    t_vec = jnp.take(vectors, jnp.maximum(tgt, 0), axis=0)
+    t_sq = jnp.take(vec_sq, jnp.maximum(tgt, 0), axis=0)
+    s_d = gather_scores(vectors, vec_sq, src[:, None], t_vec, t_sq,
+                        metric)[:, 0]
+    ranks = _group_ranks(jnp.where(act, tgt, -1), s_d)
+    keep = act & (ranks < rr)
+    # per-target request table: row = tgt_row, col = rank (unique per
+    # target by construction)
+    t_rows = table.shape[0]
+    req = jnp.full((t_rows, rr), -1, jnp.int32).at[
+        jnp.where(keep, tgt_row, jnp.int32(2**30)),
+        jnp.where(keep, ranks, 0)].set(
+        jnp.where(keep, src, -1), mode="drop")
+    owner = keep & (ranks == 0)  # one writer per target
+    rows = jnp.take(table, jnp.maximum(tgt_row, 0), axis=0)
+    if col_off is not None:
+        rows = lax.dynamic_slice_in_dim(rows, col_off, m_cap, axis=1)
+    extra = jnp.take(req, jnp.maximum(tgt_row, 0), axis=0)  # [P, rr]
+    # drop srcs already present in the row
+    dup = jnp.any(extra[:, :, None] == rows[:, None, :], axis=2)
+    extra = jnp.where(dup, -1, extra)
+    merged = jnp.concatenate([rows, extra], axis=1)  # [P, Mcap+rr]
+    d = gather_scores(vectors, vec_sq, merged, t_vec, t_sq, metric)
+    d = jnp.where(merged >= 0, d, INF_SCORE)
+    count = jnp.sum(merged >= 0, axis=1)
+    order = jnp.argsort(d, axis=1)
+    s_ids = jnp.take_along_axis(merged, order, axis=1)
+    s_d2 = jnp.take_along_axis(d, order, axis=1)
+    s_ids = jnp.where(s_d2 < INF_SCORE, s_ids, -1)
+    appended = s_ids[:, :m_cap]
+    if prune == "diversity":
+        pruned = select_diverse(vectors, vec_sq, s_ids, s_d2, m_cap, metric)
+    else:
+        pruned = appended
+    new_rows = jnp.where((count > m_cap)[:, None], pruned, appended)
+    row_idx = jnp.where(owner, tgt_row, jnp.int32(2**30))
+    if col_off is None:
+        return table.at[row_idx].set(new_rows, mode="drop")
+    cols = col_off + jnp.arange(m_cap, dtype=jnp.int32)
+    return table.at[row_idx[:, None], cols[None, :]].set(
+        new_rows, mode="drop")
+
+
 def _force_nearest_backlink(
     table: jax.Array,  # [T, Mcap]
     vectors: jax.Array,
@@ -288,6 +364,17 @@ def insert_batch_impl(
     nbr_vecs: jax.Array | None = None,  # int8 neighborhood layout for the
     nbr_scale: jax.Array | None = None,  # base-layer candidate search
     nbr_sq: jax.Array | None = None,  # (graph.make_neighborhood_tables)
+    backlinks: str = "rounds",  # "rounds" (sequential conflict-resolution
+    # rounds — the quality default: measured self-recall@1 1.0 vs the
+    # batched union-prune's 0.972, because a union prune rejects
+    # mutually-close new sources that sequential rounds admit one at a
+    # time) | "batched" (one union-prune pass per target,
+    # _apply_backlinks_batched — ~1.3x faster insertion, opt-in)
+    backlink_cols: int | None = None,  # request back-edges only from the
+    # closest backlink_cols forward targets (None = all M0/m): far
+    # targets nearly always reject the new node under diversity pruning
+    # (see _force_nearest_backlink), so their requests are pure cost —
+    # P shrinks from B*M0 to B*backlink_cols in every round
 ) -> tuple[GraphState, jax.Array]:
     """Insert a batch of new nodes. Returns (state, n_dist counter).
 
@@ -304,6 +391,8 @@ def insert_batch_impl(
     Traversal ranking picks up ~0.4%-of-row-max quantization noise; the
     diversity selection and back-link pruning still rescore exactly.
     """
+    apply_backlinks = (_apply_backlinks_batched if backlinks == "batched"
+                       else _apply_backlinks)
     b = new_slots.shape[0]
     active = new_slots >= 0
     safe_slots = jnp.maximum(new_slots, 0)
@@ -381,13 +470,14 @@ def insert_batch_impl(
             row[:, None], lvl_cols[None, :]].set(sel, mode="drop")
 
         # back edges at this level: targets' rows live at upper_slot[tgt]
-        tgt = sel.reshape(-1)
-        src = jnp.repeat(new_slots, m)
+        blc_u = min(backlink_cols or m, m)
+        tgt = sel[:, :blc_u].reshape(-1)
+        src = jnp.repeat(new_slots, blc_u)
         act = (tgt >= 0) & (src >= 0)
         tgt_uslot = jnp.where(
             act, jnp.take(st.upper_slot, jnp.maximum(tgt, 0)), -1)
         act = act & (tgt_uslot >= 0)
-        upper_neighbors = _apply_backlinks(
+        upper_neighbors = apply_backlinks(
             upper_neighbors, vectors, vec_sq, tgt, src, act,
             jnp.where(act, tgt_uslot, -1), metric, r_rounds, prune,
             col_off=(lvl - 1) * m, m_cap=m,
@@ -443,10 +533,13 @@ def insert_batch_impl(
         jnp.where(active, new_slots, jnp.int32(2**30))
     ].set(sel, mode="drop")
 
-    tgt = sel.reshape(-1)
-    src = jnp.repeat(new_slots, m0)
+    blc = min(backlink_cols or m0, m0)
+    tgt = sel[:, :blc].reshape(-1)  # sel is in selection order,
+    # closest-first (select_diverse packs kept candidates by ascending
+    # distance), so the first blc columns ARE the closest targets
+    src = jnp.repeat(new_slots, blc)
     act = (tgt >= 0) & (src >= 0)
-    neighbors0 = _apply_backlinks(
+    neighbors0 = apply_backlinks(
         neighbors0, vectors, vec_sq, tgt, src, act,
         jnp.where(act, tgt, -1), metric, r_rounds, prune,
     )
@@ -490,5 +583,6 @@ def insert_batch_impl(
 insert_batch = functools.partial(
     jax.jit,
     static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
-                     "expand", "r_rounds", "prune"),
+                     "expand", "r_rounds", "prune", "backlinks",
+                     "backlink_cols"),
 )(insert_batch_impl)

@@ -107,8 +107,14 @@ class HNSWIndex:
         capacity: int = 1024,
         seed: int = 0x5EED,
         build_batch: int = DEFAULT_BUILD_BATCH,
-        build_expand: int = 2,
+        build_expand: int = 4,  # beam expansion per insert step: 4 cuts
+        # the sequential step count vs 2 (+85% insert throughput at 1M,
+        # measured) at equal clean-protocol self-recall (0.966 both)
         build_prune: str = "diversity",
+        build_backlink_cols: int = 8,  # request back-edges from the 8
+        # closest forward targets only; far targets reject the new node
+        # under diversity pruning anyway and P drops 4x per round
+        # (measured: quality unchanged, +25% insert throughput)
         traversal_dtype: str | None = None,
         scalar_kind: str = "f32",
         _defer_alloc: bool = False,  # persist.load_index lazy path
@@ -144,6 +150,7 @@ class HNSWIndex:
         self.build_batch = int(build_batch)
         self.build_expand = int(build_expand)
         self.build_prune = str(build_prune)
+        self.build_backlink_cols = int(build_backlink_cols)
         # bulk loads into an empty graph at/above this size use the exact
         # kNN-graph MXU build instead of batched insertion
         self.bulk_threshold = 4096
@@ -437,6 +444,7 @@ class HNSWIndex:
                 cfg.ef_construction,
                 expand=self.build_expand,
                 prune=self.build_prune,
+                backlink_cols=self.build_backlink_cols,
                 nbr_vecs=nv, nbr_scale=nsc, nbr_sq=nsq,
             )
             if use_nbr:
