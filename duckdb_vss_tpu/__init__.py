@@ -45,9 +45,21 @@ def _machine_tag() -> str:
 # bitten — loading foreign-host AOT entries can SIGILL, and writing
 # (serializing) certain CPU executables aborted the full test suite
 # inside put_executable_and_time. The cache exists for the tunneled TPU
-# compiles, which cost minutes per program.
-_platforms = str(getattr(_jax.config, "jax_platforms", None) or "")
-if not _os.environ.get("DVT_NO_COMPILE_CACHE") and _platforms != "cpu":
+# compiles, which cost minutes per program — so it is enabled ONLY when
+# an accelerator platform is explicitly requested (jax_platforms or
+# JAX_PLATFORMS naming something other than cpu). An UNSET platform
+# resolves to whatever backend registers, which on a plain CPU host is
+# XLA:CPU — treating unset as CPU keeps the SIGILL/serialize-abort
+# failure modes unreachable there (round-4 advisor). Force with
+# DVT_COMPILE_CACHE=1 on an accelerator host that leaves it unset.
+_platforms = str(
+    getattr(_jax.config, "jax_platforms", None)
+    or _os.environ.get("JAX_PLATFORMS", "")
+)
+_wants_accel = bool(_platforms) and not all(
+    p.strip() in ("cpu", "") for p in _platforms.split(","))
+if not _os.environ.get("DVT_NO_COMPILE_CACHE") and (
+        _wants_accel or _os.environ.get("DVT_COMPILE_CACHE") == "1"):
     _cache_dir = _os.environ.get(
         "DVT_COMPILE_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache",

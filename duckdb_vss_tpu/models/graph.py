@@ -861,7 +861,16 @@ def _finish_search(state, vectors, vec_sq, valid_mask, queries, q_sq,
     neighborhood layout the hop reads `hop` contiguous tiles per query;
     otherwise it falls back to per-candidate gathers from the store.
     The merged winners are re-scored exactly (f32 HIGHEST), so emitted
-    distances and tie order keep reference parity."""
+    distances and tie order keep reference parity.
+
+    Layout note (round-4 advisor): the top-16 candidate CUT before the
+    exact rescore ranks by int8-quantized scores when the neighborhood
+    layout is present but by exact scores in the gather fallback, so
+    the same hop setting can admit a slightly different candidate-16
+    set per layout; the final merge is exact either way, so this only
+    matters for candidates straddling the 16th-place int8 quantization
+    boundary (~2^-7 relative). Callers needing layout-independent
+    results should disable hop_rerank or the neighborhood layout."""
     live = jnp.take(valid_mask, jnp.maximum(ids, 0), axis=0) & (ids >= 0)
     exact = gather_scores(
         vectors, vec_sq, ids, queries, q_sq, metric,

@@ -150,7 +150,8 @@ class HNSWIndex:
         self.build_batch = int(build_batch)
         self.build_expand = int(build_expand)
         self.build_prune = str(build_prune)
-        self.build_backlink_cols = int(build_backlink_cols)
+        self.build_backlink_cols = (None if build_backlink_cols is None
+                                    else int(build_backlink_cols))
         # bulk loads into an empty graph at/above this size use the exact
         # kNN-graph MXU build instead of batched insertion
         self.bulk_threshold = 4096

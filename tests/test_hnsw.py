@@ -388,3 +388,27 @@ def test_incremental_insert_fused_layout_table_parity():
     _, got = idx.search(v[n : n + 128], 1, ef=32)
     self_rec = float(np.mean(got[:, 0] == keys[:128]))
     assert self_rec >= 0.95, self_rec
+
+
+def test_backlink_cap_pure_incremental_quality():
+    """Round-4 advisor: build_backlink_cols=8 was only validated on
+    bulk-built (saturated-row) graphs, but usearch attempts a back-edge
+    at EVERY forward neighbor and accepts unconditionally into non-full
+    rows (index.hpp:3292-3295) — non-full rows are exactly what a
+    pure-incremental (from-empty) build has. Build from empty through
+    the insert path with the cap and with cap=None (all targets): the
+    capped graph's self-recall must clear an absolute bar and stay
+    within noise of the uncapped one."""
+    rng = np.random.default_rng(11)
+    n, d = 3000, 32
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    keys = np.arange(n, dtype=np.int64)
+    rec = {}
+    for cols in (8, None):
+        idx = HNSWIndex(d, HNSWConfig(), capacity=n, build_batch=128,
+                        build_backlink_cols=cols)
+        idx.add(v, keys)  # n < bulk_threshold: pure insert path
+        _, got = idx.search(v[:256], 1, ef=32)
+        rec[cols] = float((got[:, 0] == keys[:256]).mean())
+    assert rec[8] >= 0.98, rec
+    assert rec[8] >= rec[None] - 0.02, rec
