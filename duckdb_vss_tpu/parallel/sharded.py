@@ -46,6 +46,45 @@ def shard_keys(keys: np.ndarray, n_shards: int) -> np.ndarray:
     return (np.asarray(keys, np.int64) % n_shards).astype(np.int32)
 
 
+def _fetch(x):
+    """Host value of a (possibly multi-controller) global array pytree.
+
+    Single process (and fully-replicated or fully-addressable arrays):
+    plain device_get. Under jax.distributed with >1 process, arrays
+    sharded over mesh axes span processes and device_get cannot reach
+    remote shards — process_allgather (an all-gather program + host
+    fetch of the replicated result) is the multi-controller substitute.
+    Every process receives the full value, keeping replicated host
+    state (keys, placement, compaction permutations) in lockstep."""
+    leaves, treedef = jax.tree.flatten(x)
+    if jax.process_count() == 1 or all(
+            getattr(l, "is_fully_addressable", True) for l in leaves):
+        return jax.tree.unflatten(
+            treedef, [np.asarray(l) for l in jax.device_get(leaves)])
+    from jax.experimental import multihost_utils
+
+    return jax.tree.unflatten(treedef, [
+        np.asarray(multihost_utils.process_allgather(l, tiled=True))
+        if not getattr(l, "is_fully_addressable", True)
+        else np.asarray(jax.device_get(l)) for l in leaves])
+
+
+@functools.lru_cache(maxsize=None)
+def _full_program(shape, dtype, fill, sharding):
+    return jax.jit(lambda: jnp.full(shape, fill, dtype),
+                   out_shardings=sharding)
+
+
+def _device_full(shape, dtype, fill, sharding):
+    """Allocate a global array directly INTO a sharding. jnp.zeros +
+    device_put materializes on the default device first, which breaks
+    under multi-controller (the host array is process-local, and
+    resharding a committed single-device array across processes is not
+    allowed); a jitted full() with out_shardings is an SPMD program
+    every process executes over its own devices."""
+    return _full_program(tuple(shape), jnp.dtype(dtype), fill, sharding)()
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer — uniform virtual-shard hashing even for
     pathological key patterns (sequential, strided, clustered)."""
@@ -120,12 +159,10 @@ class ShardedFlatIndex:
         self._sharding = NamedSharding(mesh, P(None, "shard"))
         shape3 = NamedSharding(mesh, P("shard", None, None))
         shape2 = NamedSharding(mesh, P("shard", None))
-        self._vectors = jax.device_put(
-            jnp.zeros((s, self.cap, self.d_pad), jnp.float32), shape3)
-        self._vec_sq = jax.device_put(
-            jnp.zeros((s, self.cap), jnp.float32), shape2)
-        self._valid = jax.device_put(
-            jnp.zeros((s, self.cap), jnp.bool_), shape2)
+        self._vectors = _device_full((s, self.cap, self.d_pad),
+                                     jnp.float32, 0, shape3)
+        self._vec_sq = _device_full((s, self.cap), jnp.float32, 0, shape2)
+        self._valid = _device_full((s, self.cap), jnp.bool_, False, shape2)
         self._keys = np.full((s, self.cap), -1, np.int64)
         self._counts = np.zeros((s,), np.int64)
 
@@ -183,8 +220,8 @@ class ShardedFlatIndex:
                 bs[i, : len(chunk)] = chunk
             self._vectors, self._vec_sq, self._valid = self._scatter_flat(
                 self._vectors, self._vec_sq, self._valid,
-                jax.device_put(jnp.asarray(bv), sh3),
-                jax.device_put(jnp.asarray(bs), sh2))
+                jax.device_put(bv, sh3),
+                jax.device_put(bs, sh2))
 
     def _search_sharded(self, queries, k: int, vectors=None, vec_sq=None,
                         valid=None):
@@ -598,37 +635,34 @@ class ShardedHNSWIndex:
         return NamedSharding(self.mesh, P(*spec))
 
     def _alloc_store(self, s, cap):
-        self._vectors = jax.device_put(
-            jnp.zeros((s, cap, self.d_pad), self._dtype),
+        self._vectors = _device_full(
+            (s, cap, self.d_pad), self._dtype, 0,
             self._sh("shard", None, None))
-        self._vec_sq = jax.device_put(
-            jnp.zeros((s, cap), jnp.float32), self._sh("shard", None))
-        self._valid = jax.device_put(
-            jnp.zeros((s, cap), jnp.bool_), self._sh("shard", None))
+        self._vec_sq = _device_full(
+            (s, cap), jnp.float32, 0, self._sh("shard", None))
+        self._valid = _device_full(
+            (s, cap), jnp.bool_, False, self._sh("shard", None))
 
     def _empty_graph(self) -> ShardedGraph:
         s, cap, cfg = self.n_shards, self.cap, self.config
         cap_u = max(cap // G.UPPER_DIV, 64)
         return ShardedGraph(
-            neighbors0=jax.device_put(
-                jnp.full((s, cap, cfg.m0), -1, jnp.int32),
+            neighbors0=_device_full((s, cap, cfg.m0), jnp.int32, -1,
+                                    self._sh("shard", None, None)),
+            upper_neighbors=_device_full(
+                (s, cap_u, G.L_MAX * cfg.m), jnp.int32, -1,
                 self._sh("shard", None, None)),
-            upper_neighbors=jax.device_put(
-                jnp.full((s, cap_u, G.L_MAX * cfg.m), -1, jnp.int32),
-                self._sh("shard", None, None)),
-            upper_slot=jax.device_put(
-                jnp.full((s, cap), -1, jnp.int32), self._sh("shard", None)),
-            upper_node=jax.device_put(
-                jnp.full((s, cap_u), -1, jnp.int32),
-                self._sh("shard", None)),
-            levels=jax.device_put(
-                jnp.full((s, cap), -1, jnp.int32), self._sh("shard", None)),
-            entry_node=jax.device_put(
-                jnp.full((s,), -1, jnp.int32), self._sh("shard")),
-            max_level=jax.device_put(
-                jnp.full((s,), -1, jnp.int32), self._sh("shard")),
-            upper_count=jax.device_put(
-                jnp.zeros((s,), jnp.int32), self._sh("shard")),
+            upper_slot=_device_full((s, cap), jnp.int32, -1,
+                                    self._sh("shard", None)),
+            upper_node=_device_full((s, cap_u), jnp.int32, -1,
+                                    self._sh("shard", None)),
+            levels=_device_full((s, cap), jnp.int32, -1,
+                                self._sh("shard", None)),
+            entry_node=_device_full((s,), jnp.int32, -1,
+                                    self._sh("shard")),
+            max_level=_device_full((s,), jnp.int32, -1, self._sh("shard")),
+            upper_count=_device_full((s,), jnp.int32, 0,
+                                     self._sh("shard")),
         )
 
     def _invalidate(self):
@@ -643,6 +677,46 @@ class ShardedHNSWIndex:
         for f, spec in _GRAPH_SPEC._asdict().items():
             stacked = jnp.stack([getattr(st, f) for st in states])
             out[f] = jax.device_put(stacked, NamedSharding(self.mesh, spec))
+        return ShardedGraph(**out)
+
+    def _bulk_build_multiproc(self, bulk_build, slot_lists, lv_lists,
+                              vectors, per_shard) -> "ShardedGraph":
+        """Multi-controller bulk build: each process runs bulk_build
+        ONLY for the shards its local devices own (the reference's
+        fully-parallel construct-task analog across hosts,
+        hnsw_index_physical_create.cpp:231-243), entirely on local
+        data — the per-shard store slice comes from the sharded store's
+        addressable shards, so construction crosses no process
+        boundary. The global stacked graph is assembled from the
+        per-device local results with make_array_from_single_device_
+        arrays; only search needs collectives afterwards."""
+        pidx = jax.process_index()
+        s = self.n_shards
+        vec_blk, sq_blk = {}, {}
+        for sh_ in self._vectors.addressable_shards:
+            i = sh_.index[0].start or 0
+            vec_blk.setdefault(i, sh_.data[0])
+        for sh_ in self._vec_sq.addressable_shards:
+            i = sh_.index[0].start or 0
+            sq_blk.setdefault(i, sh_.data[0])
+        states = {}
+        for i in sorted(vec_blk):
+            states[i] = bulk_build(
+                vec_blk[i], sq_blk[i], slot_lists[i].astype(np.int32),
+                lv_lists[i], self.config, self.config.metric,
+                host_vectors=vectors[per_shard[i]])
+        mesh_devs = self.mesh.devices  # [n_q, S]
+        out = {}
+        for f, spec in _GRAPH_SPEC._asdict().items():
+            blocks, tail = [], ()
+            for (_, i), dev in np.ndenumerate(mesh_devs):
+                if dev.process_index != pidx:
+                    continue
+                block = jnp.asarray(getattr(states[i], f))[None]
+                tail = block.shape[1:]
+                blocks.append(jax.device_put(block, dev))
+            out[f] = jax.make_array_from_single_device_arrays(
+                (s,) + tail, NamedSharding(self.mesh, spec), blocks)
         return ShardedGraph(**out)
 
     def __len__(self) -> int:
@@ -752,9 +826,8 @@ class ShardedHNSWIndex:
                 bs[i, : len(chunk)] = chunk
             self._vectors, self._vec_sq, self._valid = _scatter_sharded(
                 self._vectors, self._vec_sq, self._valid,
-                jax.device_put(jnp.asarray(bv), self._sh("shard", None,
-                                                         None)),
-                jax.device_put(jnp.asarray(bs), self._sh("shard", None)),
+                jax.device_put(bv, self._sh("shard", None, None)),
+                jax.device_put(bs, self._sh("shard", None)),
                 mesh=self.mesh)
 
         # bulk load into empty shards: per-shard local MXU bulk build
@@ -772,18 +845,26 @@ class ShardedHNSWIndex:
         # hnsw_index_physical_create.cpp:231-243) and only search needs
         # collectives. The repair phase's host_vectors come from the
         # caller's input rows (already on host), not from the store.
-        graphs_empty = int(np.asarray(
-            jax.device_get(self.graph.max_level)).max()) < 0
+        graphs_empty = int(_fetch(self.graph.max_level).max()) < 0
         if graphs_empty and len(keys) >= 4096:
             from duckdb_vss_tpu.models.bulk import bulk_build
 
+            # level streams are drawn for EVERY shard on every process
+            # so the shared host RNG advances identically everywhere
+            # (multi-controller: each process then builds only the
+            # shards its devices own)
+            lv_lists = [self._sample_levels(len(sl)) for sl in slot_lists]
+            if jax.process_count() > 1:
+                self.graph = self._bulk_build_multiproc(
+                    bulk_build, slot_lists, lv_lists, vectors, per_shard)
+                self._invalidate()
+                return
             states = []
             for i in range(s):
                 sl = slot_lists[i]
-                lv = self._sample_levels(len(sl))
                 states.append(bulk_build(
                     self._vectors[i], self._vec_sq[i],
-                    sl.astype(np.int32), lv, self.config,
+                    sl.astype(np.int32), lv_lists[i], self.config,
                     self.config.metric,
                     host_vectors=vectors[per_shard[i]]))
             self.graph = self._stack_graphs(states)
@@ -804,10 +885,8 @@ class ShardedHNSWIndex:
                     len(chunk))
             self.graph = _insert_sharded(
                 self.graph, self._vectors, self._vec_sq,
-                jax.device_put(jnp.asarray(batch_slots),
-                               self._sh("shard", None)),
-                jax.device_put(jnp.asarray(batch_levels),
-                               self._sh("shard", None)),
+                jax.device_put(batch_slots, self._sh("shard", None)),
+                jax.device_put(batch_levels, self._sh("shard", None)),
                 mesh=self.mesh, metric=cfg.metric, m=cfg.m, m0=cfg.m0,
                 ef_construction=cfg.ef_construction)
         self._invalidate()
@@ -839,7 +918,7 @@ class ShardedHNSWIndex:
             batch[i, : len(rows[i])] = rows[i]
         self._valid = _tombstone_sharded(
             self._valid,
-            jax.device_put(jnp.asarray(batch), self._sh("shard", None)),
+            jax.device_put(batch, self._sh("shard", None)),
             mesh=self.mesh)
         self.placement.unplace_counts(removed)
         self.is_dirty = True  # tombstones only; caches stay valid
@@ -860,10 +939,9 @@ class ShardedHNSWIndex:
         the (small) valid/levels arrays, then applied on device in one
         SPMD step of gathers + id remaps."""
         s, cap = self.n_shards, self.cap
-        valid = np.asarray(jax.device_get(self._valid))
-        levels = np.asarray(jax.device_get(self.graph.levels))
+        valid, levels, uslot = _fetch(
+            (self._valid, self.graph.levels, self.graph.upper_slot))
         cap_u = self.graph.upper_neighbors.shape[1]
-        uslot = np.asarray(jax.device_get(self.graph.upper_slot))
 
         perm = np.zeros((s, cap), np.int32)
         remap = np.full((s, cap + 1), -1, np.int32)
@@ -906,7 +984,7 @@ class ShardedHNSWIndex:
 
         sh2 = self._sh("shard", None)
         sh1 = self._sh("shard")
-        dev = lambda a, sh: jax.device_put(jnp.asarray(a), sh)
+        dev = lambda a, sh: jax.device_put(np.asarray(a), sh)
         (self.graph, self._vectors, self._vec_sq,
          valid_new) = _apply_compact_sharded(
             self.graph, self._vectors, self._vec_sq,
@@ -1001,7 +1079,7 @@ class ShardedHNSWIndex:
                 pallas_beam=self.use_pallas_beam and has_nbr,
                 has_nbr=has_nbr,
                 hop_rerank=min(self.hop_rerank, int(k))), len(qc)))
-        fetched = jax.device_get([o for o, _ in outs])
+        fetched = _fetch([o for o, _ in outs])
         scores = np.concatenate(
             [s[:nb] for (s, _), (_, nb) in zip(fetched, outs)])
         gids = np.concatenate(
@@ -1013,8 +1091,7 @@ class ShardedHNSWIndex:
 
     # -- introspection / persistence ----------------------------------------
     def stats(self) -> dict:
-        levels = np.asarray(jax.device_get(self.graph.levels))
-        valid = np.asarray(jax.device_get(self._valid))
+        levels, valid = _fetch((self.graph.levels, self._valid))
         per = []
         for i in range(self.n_shards):
             per.append({
@@ -1062,32 +1139,37 @@ class ShardedHNSWIndex:
         free_off = np.zeros((s + 1,), np.int64)
         for i in range(s):
             free_off[i + 1] = free_off[i] + len(self._free_slots[i])
+        dev_arrays = _fetch({
+            "valid": self._valid, "vectors": self._vectors,
+            "neighbors0": g.neighbors0, "upper_nbrs": g.upper_neighbors,
+            "upper_slot": g.upper_slot, "upper_node": g.upper_node,
+            "levels": g.levels, "entry_node": g.entry_node,
+            "smax_level": g.max_level, "supper_count": g.upper_count,
+        })
         arrays = {
             "keys": np.ascontiguousarray(self._keys),
-            "valid": np.ascontiguousarray(np.asarray(
-                jax.device_get(self._valid)).astype(np.uint8)),
-            "vectors": np.ascontiguousarray(jax.device_get(self._vectors)),
-            "neighbors0": np.ascontiguousarray(
-                jax.device_get(g.neighbors0)),
-            "upper_nbrs": np.ascontiguousarray(
-                jax.device_get(g.upper_neighbors)),
-            "upper_slot": np.ascontiguousarray(
-                jax.device_get(g.upper_slot)),
-            "upper_node": np.ascontiguousarray(
-                jax.device_get(g.upper_node)),
-            "levels": np.ascontiguousarray(jax.device_get(g.levels)),
-            "entry_node": np.ascontiguousarray(
-                jax.device_get(g.entry_node)),
-            "smax_level": np.ascontiguousarray(
-                jax.device_get(g.max_level)),
-            "supper_count": np.ascontiguousarray(
-                jax.device_get(g.upper_count)),
+            "valid": np.ascontiguousarray(
+                dev_arrays["valid"].astype(np.uint8)),
+            **{name: np.ascontiguousarray(dev_arrays[name])
+               for name in ("vectors", "neighbors0", "upper_nbrs",
+                            "upper_slot", "upper_node", "levels",
+                            "entry_node", "smax_level", "supper_count")},
             "next_slot": np.ascontiguousarray(self._next_slot),
             "free_slots": free_flat,
             "free_off": free_off,
             "pl_assign": np.ascontiguousarray(self.placement.assign),
             "pl_load": np.ascontiguousarray(self.placement.load),
         }
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-controller: every process computes the (replicated)
+            # host image above — process 0 alone writes the container,
+            # the barrier keeps the others from racing ahead into ops
+            # that assume the file exists
+            from jax.experimental import multihost_utils
+
+            self.is_dirty = False
+            multihost_utils.sync_global_devices("sharded_save")
+            return
         w = lib.vss_writer_open(path.encode(), ctypes.byref(hdr))
         if not w:
             raise PS.PersistError(f"cannot open {path} for writing")
@@ -1102,6 +1184,10 @@ class ShardedHNSWIndex:
         finally:
             lib.vss_writer_close(w)
         self.is_dirty = False
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("sharded_save")
 
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedHNSWIndex":
@@ -1170,12 +1256,19 @@ class ShardedHNSWIndex:
         idx.placement.assign = pl_assign
         idx.placement.load = pl_load
         sh = idx._sh
-        idx._vectors = jax.device_put(jnp.asarray(vectors),
-                                      sh("shard", None, None))
-        v32 = jnp.asarray(vectors).astype(jnp.float32)
-        idx._vec_sq = jax.device_put(
-            jnp.sum(v32 * v32, axis=-1), sh("shard", None))
-        idx._valid = jax.device_put(jnp.asarray(valid), sh("shard", None))
+        # host numpy -> global sharding directly (multi-controller safe:
+        # every process reads the shared container and device_puts only
+        # its addressable shards)
+        idx._vectors = jax.device_put(vectors, sh("shard", None, None))
+        # recompute norms ON DEVICE with the same op as the scatter path
+        # (_scatter_sharded shard_fn): a host numpy re-sum differs in
+        # final ulps from XLA's reduction and broke exact roundtrip
+        # score parity (first 2-process run). jit keeps it
+        # multi-controller safe (SPMD over the global array).
+        idx._vec_sq = jax.jit(
+            lambda a: jnp.sum(jnp.square(a.astype(jnp.float32)), axis=-1),
+            out_shardings=sh("shard", None))(idx._vectors)
+        idx._valid = jax.device_put(valid, sh("shard", None))
         idx._keys = keys
         idx._key_to_slot = [
             {int(k): j for j, k in enumerate(keys[i].tolist()) if k >= 0}
@@ -1185,20 +1278,15 @@ class ShardedHNSWIndex:
             for i in range(s)]
         idx._next_slot = next_slot
         idx.graph = ShardedGraph(
-            neighbors0=jax.device_put(jnp.asarray(neighbors0),
-                                      sh("shard", None, None)),
-            upper_neighbors=jax.device_put(
-                jnp.asarray(upper_nbrs), sh("shard", None, None)),
-            upper_slot=jax.device_put(jnp.asarray(upper_slot),
-                                      sh("shard", None)),
-            upper_node=jax.device_put(jnp.asarray(upper_node),
-                                      sh("shard", None)),
-            levels=jax.device_put(jnp.asarray(levels), sh("shard", None)),
-            entry_node=jax.device_put(jnp.asarray(entry_node),
-                                      sh("shard")),
-            max_level=jax.device_put(jnp.asarray(smax_level), sh("shard")),
-            upper_count=jax.device_put(jnp.asarray(supper_count),
-                                       sh("shard")),
+            neighbors0=jax.device_put(neighbors0, sh("shard", None, None)),
+            upper_neighbors=jax.device_put(upper_nbrs,
+                                           sh("shard", None, None)),
+            upper_slot=jax.device_put(upper_slot, sh("shard", None)),
+            upper_node=jax.device_put(upper_node, sh("shard", None)),
+            levels=jax.device_put(levels, sh("shard", None)),
+            entry_node=jax.device_put(entry_node, sh("shard")),
+            max_level=jax.device_put(smax_level, sh("shard")),
+            upper_count=jax.device_put(supper_count, sh("shard")),
         )
         idx.is_dirty = False
         return idx
