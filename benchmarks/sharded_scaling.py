@@ -68,26 +68,29 @@ def main():
     ref.add(vecs, np.arange(n))
     _, want = ref.search(q[:512], k)
 
-    def run_point(s, n_q):
+    def run_point(s, n_q, ef_local=None):
         mesh = make_mesh(n_shards=s, n_q=n_q)
         idx = ShardedHNSWIndex(d, HNSWConfig(), mesh,
                                capacity_per_shard=max(2048, 2 * n // s))
         t0 = time.time()
         idx.add(vecs, np.arange(n))
         build_s = time.time() - t0
-        _, got = idx.search(q[:512], k, ef=ef)
+        kw = dict(ef=ef, ef_local=ef_local)
+        _, got = idx.search(q[:512], k, **kw)
         rec = recall_at_k(got, want)
-        idx.search(q, k, ef=ef)  # warm
+        idx.search(q, k, **kw)  # warm
         best = None
         for _ in range(3):
             t0 = time.time()
-            idx.search(q, k, ef=ef)
+            idx.search(q, k, **kw)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         pt = {"shards": s, "q_dp": n_q, "qps": round(nq / best, 1),
               "recall_at_10": round(rec, 4),
-              "build_seconds": round(build_s, 1)}
-        print(f"# S={s} q={n_q}: qps={pt['qps']} recall={rec:.4f} "
+              "build_seconds": round(build_s, 1),
+              "ef_local": ef_local if ef_local is not None else "scaled"}
+        print(f"# S={s} q={n_q} ef_local={pt['ef_local']}: "
+              f"qps={pt['qps']} recall={rec:.4f} "
               f"build={build_s:.1f}s", file=sys.stderr, flush=True)
         return pt
 
@@ -99,7 +102,11 @@ def main():
     # throughput. The structural quantity is the per-shard work ratio:
     # (QPS(S) * S) / QPS(1) — how much cheaper one shard's beam is on
     # an N/S partition (graph-depth + early-exit savings).
+    # default policy: per-shard ef scales down with S (iso-recall)
     shard_pts = [run_point(s, 1) for s in (1, 2, 4, 8)]
+    # old behavior (full global ef on every shard) for the work-ratio
+    # comparison the round-4 verdict asked to close
+    shard_pts_full = [run_point(s, 1, ef_local=ef) for s in (2, 8)]
     # axis 2 — query data-parallelism (the THROUGHPUT axis): the same
     # full index replicated conceptually; queries split over the "q"
     # mesh axis. On a pod this is the embarrassingly-parallel ~linear
@@ -113,9 +120,20 @@ def main():
         "metric": "sharded_virtual_mesh_scaling",
         "n": n, "dims": d, "query_batch": nq, "ef": ef,
         "shard_axis_points": shard_pts,
+        "shard_axis_points_full_ef": shard_pts_full,
         "query_dp_points": qdp_pts,
         "per_shard_work_ratio_s8": round(
             shard_pts[-1]["qps"] * 8 / t1, 3),
+        "per_shard_work_ratio_s8_full_ef": round(
+            shard_pts_full[-1]["qps"] * 8 / t1, 3),
+        # T(S)/T(1) on shared host cores = total-work inflation of the
+        # capacity axis at the DEFAULT (iso-recall-scaled) ef policy;
+        # ideal 1.0 (fixed total data, S-way split). The round-4 field
+        # above (qps_S * S / qps_1) is kept for continuity.
+        "total_work_inflation_s8": round(
+            t1 / shard_pts[-1]["qps"], 3),
+        "two_shard_efficiency": round(
+            shard_pts[1]["qps"] / t1, 3),
         "query_dp_structural_efficiency_s8": round(
             qdp_pts[-1]["qps"] / t1, 3),
         "notes": ("virtual 8-device CPU mesh sharing 4 host cores (no "

@@ -1040,12 +1040,26 @@ class ShardedHNSWIndex:
         return per_shard <= budget
 
     def search(self, queries: np.ndarray, k: int, ef: int | None = None,
-               expand: int = 4, chunk: int = 8192):
+               expand: int = 4, chunk: int = 8192,
+               ef_local: int | None = None):
         """SPMD top-k. Large batches are chunked HOST-SIDE like the
         single-chip path (models/hnsw.py search): one compiled program
         per chunk-size bucket (not per total batch shape), bounded
         per-program intermediates, overlapped dispatch across chunks,
-        and a single device_get for all results."""
+        and a single device_get for all results.
+
+        Per-shard beam width scales DOWN with shard count: each shard
+        searches 1/S of the data and contributes only k candidates to
+        the merge, so running the full global ef on every shard inflates
+        total work ~S-fold for recall nobody asked for (round-4 SCALING
+        artifact: recall ROSE 0.9627->0.9852 from S=1->8 while per-shard
+        work stayed flat). The default policy ef_local =
+        min(ef, max(k+6, ceil(ef/S)+6)) recovers the single-index
+        recall class at a per-shard cost that falls with S (measured,
+        32k x 64 S=8: ef_local 16 -> recall 0.9635 vs single-index
+        0.9627 at 2.3x the full-ef policy's QPS —
+        benchmarks/sharded_scaling.py); pass ef_local explicitly
+        (e.g. ef_local=ef) for the old behavior."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -1053,7 +1067,13 @@ class ShardedHNSWIndex:
         n_q = self.mesh.shape["q"]
         q_mult = max(8, n_q)
         chunk = round_up(max(int(chunk), q_mult), q_mult)
-        ef_eff = round_up(max(int(ef or self.config.ef_search), k), 16)
+        ef_req = max(int(ef or self.config.ef_search), k)
+        if ef_local is None:
+            ef_req = min(ef_req, max(k + 6, -(-ef_req // self.n_shards)
+                                     + 6))
+        else:
+            ef_req = max(int(ef_local), k)
+        ef_eff = round_up(ef_req, 16)
         (uv, uvsq), nbr = self._tables()
         has_nbr = nbr is not None
         if has_nbr:
