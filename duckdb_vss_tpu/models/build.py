@@ -375,6 +375,13 @@ def insert_batch_impl(
     # targets nearly always reject the new node under diversity pruning
     # (see _force_nearest_backlink), so their requests are pure cost —
     # P shrinks from B*M0 to B*backlink_cols in every round
+    max_steps_base: int | None = None,  # cap the base-layer beam's step
+    # count. The batched while-loop steps until EVERY row converges, so
+    # one straggler keeps the whole batch paying gather+score steps;
+    # uncapped the bound is 3*ef_c//expand+8 (= 104 at ef 128/expand 4).
+    # The search path caps steps from measured recall saturation
+    # (bench.py steps_of); this is the construction-side analog.
+    max_steps_upper: int | None = None,  # same for the upper-level beams
 ) -> tuple[GraphState, jax.Array]:
     """Insert a batch of new nodes. Returns (state, n_dist counter).
 
@@ -454,6 +461,7 @@ def insert_batch_impl(
         scores, ids, nd = beam_search(
             st, vectors, vec_sq, q, q_sq, seed_ids, ef_upper, metric,
             level=lvl, expand=1, active=active & touch,
+            max_steps=max_steps_upper,
         )
         n_dist = n_dist + nd
         self_hit = ids == new_slots[:, None]  # never link a node to itself
@@ -520,7 +528,7 @@ def insert_batch_impl(
     seed_ids = jnp.concatenate([seeds, mxu_seeds, peer_ids], axis=1)
     scores, ids, nd = beam_search(
         state, vectors, vec_sq, q, q_sq, seed_ids, ef_construction, metric,
-        level=0, expand=expand, active=active,
+        level=0, expand=expand, active=active, max_steps=max_steps_base,
         nbr_vecs=nbr_vecs, nbr_scale=nbr_scale, nbr_sq=nbr_sq,
     )
     n_dist = n_dist + nd
@@ -584,5 +592,5 @@ insert_batch = functools.partial(
     jax.jit,
     static_argnames=("metric", "m", "m0", "ef_construction", "ef_upper",
                      "expand", "r_rounds", "prune", "backlinks",
-                     "backlink_cols"),
+                     "backlink_cols", "max_steps_base", "max_steps_upper"),
 )(insert_batch_impl)

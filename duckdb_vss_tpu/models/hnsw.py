@@ -97,6 +97,15 @@ def _cluster_jit(state, vectors, vec_sq, queries, level, metric):
     return cur, exact, nd
 
 
+def _default_build_steps(ef_c: int, expand: int) -> int:
+    """Construction base-beam step cap by analogy with the search-side
+    recall-saturation table (bench.py steps_of: ef=128 saturates at 40
+    steps with expand=4). Validated on 1M x 128 clustered insertion
+    (benchmarks/insert_steps_sweep.py): see the sweep artifact for the
+    vec/s vs self-recall trade at 24/32/40 steps."""
+    return max(12, (3 * ef_c) // (4 * max(expand, 1)) + 16)
+
+
 class HNSWIndex:
     """TPU-native HNSW index over row-keyed float vectors."""
 
@@ -117,6 +126,10 @@ class HNSWIndex:
         # (measured: quality unchanged, +25% insert throughput)
         traversal_dtype: str | None = None,
         scalar_kind: str = "f32",
+        build_max_steps: int | None = None,  # cap the insert base-layer
+        # beam's sequential steps (build.insert_batch max_steps_base).
+        # None = the search-side saturation default for ef_construction
+        # (see _default_build_steps); 0 disables the cap entirely.
         _defer_alloc: bool = False,  # persist.load_index lazy path
     ):
         self.config = config or HNSWConfig()
@@ -152,6 +165,16 @@ class HNSWIndex:
         self.build_prune = str(build_prune)
         self.build_backlink_cols = (None if build_backlink_cols is None
                                     else int(build_backlink_cols))
+        import os as _os2
+        _env_ms = _os2.environ.get("DVT_BUILD_MAX_STEPS")
+        if build_max_steps is None and _env_ms is not None:
+            build_max_steps = int(_env_ms)
+        self.build_max_steps = build_max_steps
+        # back-link conflict-resolution rounds (build._apply_backlinks).
+        # 4 = the quality default; the rounds are ~25% of a capped
+        # insert batch (benchmarks/insert_steps_sweep.py profile)
+        self.build_r_rounds = int(_os2.environ.get("DVT_BUILD_R_ROUNDS",
+                                                   "4"))
         # bulk loads into an empty graph at/above this size use the exact
         # kNN-graph MXU build instead of batched insertion
         self.bulk_threshold = 4096
@@ -421,6 +444,22 @@ class HNSWIndex:
         # DVT_LAYOUT=flat).
         nv, nsc, nsq, nmeta = self._neighborhood_tables()
         use_nbr = nv is not None
+        # step caps for the construction beams: the batched while-loop
+        # steps until EVERY row converges, so uncapped (3*ef_c//expand+8
+        # = 104 at the defaults) one straggler row bills the whole batch
+        # (measured: the cap is the single biggest insert-throughput
+        # lever — benchmarks/insert_steps_sweep.py)
+        msb = self.build_max_steps
+        if msb is None:
+            msb = _default_build_steps(cfg.ef_construction,
+                                       self.build_expand)
+        msb = None if not msb else int(msb)
+        # upper levels are tiny + expand=1; their beams only wire upper
+        # edges (base-layer seeding is carried by mxu_descent's exact
+        # coarse routing), so the cap can sit low
+        msu = (int(_os2.environ.get("DVT_BUILD_MAX_STEPS_UPPER", "16"))
+               if msb else None)
+        msu = msu or None
         # the loop below donates these arrays into their own updates;
         # drop the cache reference now so a mid-loop failure can't leave
         # it pointing at donated (deleted) buffers
@@ -446,6 +485,8 @@ class HNSWIndex:
                 expand=self.build_expand,
                 prune=self.build_prune,
                 backlink_cols=self.build_backlink_cols,
+                r_rounds=self.build_r_rounds,
+                max_steps_base=msb, max_steps_upper=msu,
                 nbr_vecs=nv, nbr_scale=nsc, nbr_sq=nsq,
             )
             if use_nbr:

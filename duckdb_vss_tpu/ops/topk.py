@@ -82,6 +82,18 @@ def exact_topk_small(s: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return out_s, out_i
 
 
+def _stash_budget_bytes() -> int:
+    """HBM the stashed-score flat scan may spend on its [B, N] f32
+    stash (flat_topk_stashed). Default 5 GB: comfortably inside a 16 GB
+    v5e chip next to a config-1-class store, and big enough for the
+    100k x 64 B=8192 headline shape (4.3 GB at the padded capacity).
+    Larger scans fall back to the per-block tournament."""
+    import os
+
+    return int(float(os.environ.get("DVT_FLAT_STASH_GB", "5"))
+               * (1 << 30))
+
+
 def merge_topk(
     scores_a: jax.Array,
     ids_a: jax.Array,
@@ -136,6 +148,94 @@ def flat_topk_dense(
     return scores, ids
 
 
+def flat_topk_stashed(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int,
+    metric: MetricKind,
+    vec_sq: jax.Array,
+    valid: jax.Array,
+    block_n: int,
+    precision,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact streaming top-k with a GLOBAL extraction phase.
+
+    The per-block tournament (exact_topk_small inside flat_topk's scan)
+    pays k sequential extraction passes PER BLOCK — nb*k sequential
+    small ops, the round-4 roofline's flat-scan bottleneck (config 1 at
+    6% of floor). This variant stashes the full score matrix [B, N] in
+    HBM while the scan computes it (one extra HBM write, ~5 ms at the
+    config-1 shape), folds each block into 128-wide bins as it goes,
+    and then runs ONLY k global extraction passes: argmin over the
+    [B, N/128] bin minima, regather the winner's 128-wide bin from the
+    stash, re-reduce. Bitwise-identical results and tie order to the
+    per-block tournament (the same score values are re-read, ties
+    resolve to the lowest bin then lowest lane). Memory-gated by the
+    caller: the stash is B*N*4 bytes."""
+    b = queries.shape[0]
+    n, d = vectors.shape
+    nb = n // block_n
+    nbins = n // 128
+    q_f32 = queries.astype(jnp.float32)
+    q_sq = sq_norms(q_f32)
+    queries = q_f32.astype(vectors.dtype)
+
+    def step(i, carry):
+        s_full, bin_min, bin_pos = carry
+        off = i * block_n
+        v = lax.dynamic_slice_in_dim(vectors, off, block_n, axis=0)
+        sq = lax.dynamic_slice_in_dim(vec_sq, off, block_n, axis=0)
+        va = lax.dynamic_slice_in_dim(valid, off, block_n, axis=0)
+        s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq,
+                         precision=precision)
+        s = jnp.where(va[None, :], s, INF_SCORE)
+        s_full = lax.dynamic_update_slice_in_dim(s_full, s, off, axis=1)
+        s3 = s.reshape(b, block_n // 128, 128)
+        bin_min = lax.dynamic_update_slice_in_dim(
+            bin_min, jnp.min(s3, axis=2), off // 128, axis=1)
+        bin_pos = lax.dynamic_update_slice_in_dim(
+            bin_pos, jnp.argmin(s3, axis=2).astype(jnp.int32),
+            off // 128, axis=1)
+        return s_full, bin_min, bin_pos
+
+    s_full, bin_min, bin_pos = lax.fori_loop(
+        0, nb, step,
+        (jnp.full((b, n), INF_SCORE, jnp.float32),
+         jnp.full((b, nbins), INF_SCORE, jnp.float32),
+         jnp.zeros((b, nbins), jnp.int32)))
+
+    rows = jnp.arange(b)
+    lane3 = jnp.arange(128, dtype=jnp.int32)[None, :, None]
+    slice_row = jax.vmap(
+        lambda row, st: lax.dynamic_slice(row, (st,), (128,)))
+
+    def extract(j, carry):
+        bin_min, bin_pos, out_s, out_i = carry
+        g = jnp.argmin(bin_min, axis=1).astype(jnp.int32)  # [B]
+        sc = jnp.min(bin_min, axis=1)
+        pos = jnp.take_along_axis(bin_pos, g[:, None], axis=1)[:, 0]
+        out_s = out_s.at[:, j].set(sc)
+        out_i = out_i.at[:, j].set(g * 128 + pos)
+        # winner's bin from the stash; mask every element taken from it
+        bin_row = slice_row(s_full, g * 128)  # [B, 128]
+        taken_in_bin = (out_i // 128 == g[:, None]) & (
+            jnp.arange(out_i.shape[1])[None, :] <= j)
+        taken_pos = jnp.where(taken_in_bin, out_i % 128, -1)
+        bin_row = jnp.where(
+            jnp.any(lane3 == taken_pos[:, None, :], axis=2),
+            INF_SCORE, bin_row)
+        bin_min = bin_min.at[rows, g].set(jnp.min(bin_row, axis=1))
+        bin_pos = bin_pos.at[rows, g].set(
+            jnp.argmin(bin_row, axis=1).astype(jnp.int32))
+        return bin_min, bin_pos, out_s, out_i
+
+    out_s = jnp.full((b, k), INF_SCORE, jnp.float32)
+    out_i = jnp.full((b, k), -1, jnp.int32)
+    _, _, out_s, out_i = lax.fori_loop(
+        0, k, extract, (bin_min, bin_pos, out_s, out_i))
+    return out_s, out_i
+
+
 def flat_topk(
     queries: jax.Array,
     vectors: jax.Array,
@@ -171,6 +271,14 @@ def flat_topk(
                                precision)
     assert n % block_n == 0, (n, block_n)
     nb = n // block_n
+    if (not approx and k <= 32 and block_n % 128 == 0
+            and b * n * 4 <= _stash_budget_bytes()):
+        if vec_sq is None:
+            vec_sq = sq_norms(vectors)
+        if valid is None:
+            valid = jnp.ones((n,), dtype=jnp.bool_)
+        return flat_topk_stashed(queries, vectors, k, metric, vec_sq,
+                                 valid, block_n, precision)
 
     # norms in f32 always; the matmul runs in the vector table's dtype
     # (a bf16 table — the bulk sweep — halves HBM traffic and doubles
