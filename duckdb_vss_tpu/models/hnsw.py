@@ -98,12 +98,15 @@ def _cluster_jit(state, vectors, vec_sq, queries, level, metric):
 
 
 def _default_build_steps(ef_c: int, expand: int) -> int:
-    """Construction base-beam step cap by analogy with the search-side
-    recall-saturation table (bench.py steps_of: ef=128 saturates at 40
-    steps with expand=4). Validated on 1M x 128 clustered insertion
-    (benchmarks/insert_steps_sweep.py): see the sweep artifact for the
-    vec/s vs self-recall trade at 24/32/40 steps."""
-    return max(12, (3 * ef_c) // (4 * max(expand, 1)) + 16)
+    """Construction base-beam step cap, measured on 1M x 128 clustered
+    insertion (benchmarks/insert_steps_sweep.py / INSERT_STEPS.json):
+    self-recall@1 and inserted-in-top10 hold at 1.0 all the way down to
+    12 steps at the ef_c=128/expand=4 defaults (the mxu_descent exact
+    coarse seeding is why so few steps suffice — the beam starts in the
+    right neighborhood), while throughput rises 1254 (uncapped) ->
+    3869 vec/s. Default ef_c//(2*expand) = 16 at the defaults keeps a
+    2x margin over the measured quality cliff; floor 12."""
+    return max(12, ef_c // (2 * max(expand, 1)))
 
 
 class HNSWIndex:
@@ -465,19 +468,32 @@ class HNSWIndex:
         # it pointing at donated (deleted) buffers
         self._nbr_cache = None
         from duckdb_vss_tpu.models.graph import update_neighborhood_rows
-        for off in range(0, n, bb):
-            batch_slots = np.full((bb,), -1, np.int32)
-            batch_levels = np.zeros((bb,), np.int32)
-            chunk = slots[off : off + bb]
-            batch_slots[: len(chunk)] = chunk
-            batch_levels[: len(chunk)] = levels[off : off + bb]
-            slots_j = jnp.asarray(batch_slots)
+
+        # ONE H2D transfer for every batch's slots + levels, sliced on
+        # device per step. Per-batch jnp.asarray uploads cost a tunnel
+        # round trip EACH and sat on the host critical path: measured
+        # (insert_steps_sweep + device_time profile), the host side ran
+        # ~250 ms/batch while the capped program takes ~200-265 ms, so
+        # host overhead — not the device program — bounded e2e insert
+        # throughput once the step caps landed.
+        n_steps = (n + bb - 1) // bb
+        all_slots = np.full((n_steps, bb), -1, np.int32)
+        all_levels = np.zeros((n_steps, bb), np.int32)
+        for i in range(n_steps):
+            chunk = slots[i * bb : (i + 1) * bb]
+            all_slots[i, : len(chunk)] = chunk
+            all_levels[i, : len(chunk)] = levels[i * bb : (i + 1) * bb]
+        all_slots_j = jnp.asarray(all_slots)
+        all_levels_j = jnp.asarray(all_levels)
+        nds = []
+        for i in range(n_steps):
+            slots_j = all_slots_j[i]
             self.graph, nd = insert_batch(
                 self.graph,
                 self.store._vectors,
                 self.store._vec_sq,
                 slots_j,
-                jnp.asarray(batch_levels),
+                all_levels_j[i],
                 cfg.metric,
                 cfg.m,
                 cfg.m0,
@@ -493,11 +509,15 @@ class HNSWIndex:
                 nv, nsc, nsq, nmeta = update_neighborhood_rows(
                     nv, nsc, nsq, nmeta, self.store._vectors,
                     self.store._vec_sq, self.graph.neighbors0, slots_j)
-            nd_total = nd_total + nd
+            nds.append(nd)
             if on_progress is not None:
-                on_progress(min(1.0, (off + bb) / max(n, 1)))
+                on_progress(min(1.0, (i + 1) * bb / max(n, 1)))
         if use_nbr:
             self._nbr_cache = (nv, nsc, nsq, nmeta)
+        # one scalar fetch for the whole add (a per-batch accumulate
+        # added one more tiny dispatch per step)
+        if nds:
+            nd_total = nd_total + jnp.sum(jnp.stack(nds))
         self.build_distance_count += int(jax.device_get(nd_total))
         self.is_dirty = True
         return slots

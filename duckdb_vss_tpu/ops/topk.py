@@ -84,13 +84,14 @@ def exact_topk_small(s: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 
 def _stash_budget_bytes() -> int:
     """HBM the stashed-score flat scan may spend on its [B, N] f32
-    stash (flat_topk_stashed). Default 5 GB: comfortably inside a 16 GB
-    v5e chip next to a config-1-class store, and big enough for the
-    100k x 64 B=8192 headline shape (4.3 GB at the padded capacity).
-    Larger scans fall back to the per-block tournament."""
+    stash (flat_topk_stashed). Default 0 = DISABLED: the stash path
+    measured 2.6x slower than the per-block tournament on TPU v5e (the
+    extraction-phase HBM gather — see flat_topk_stashed docstring).
+    Set DVT_FLAT_STASH_GB to opt in on backends with fast dynamic
+    gathers."""
     import os
 
-    return int(float(os.environ.get("DVT_FLAT_STASH_GB", "5"))
+    return int(float(os.environ.get("DVT_FLAT_STASH_GB", "0"))
                * (1 << 30))
 
 
@@ -160,64 +161,75 @@ def flat_topk_stashed(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact streaming top-k with a GLOBAL extraction phase.
 
-    The per-block tournament (exact_topk_small inside flat_topk's scan)
-    pays k sequential extraction passes PER BLOCK — nb*k sequential
-    small ops, the round-4 roofline's flat-scan bottleneck (config 1 at
-    6% of floor). This variant stashes the full score matrix [B, N] in
-    HBM while the scan computes it (one extra HBM write, ~5 ms at the
-    config-1 shape), folds each block into 128-wide bins as it goes,
-    and then runs ONLY k global extraction passes: argmin over the
-    [B, N/128] bin minima, regather the winner's 128-wide bin from the
-    stash, re-reduce. Bitwise-identical results and tie order to the
-    per-block tournament (the same score values are re-read, ties
-    resolve to the lowest bin then lowest lane). Memory-gated by the
-    caller: the stash is B*N*4 bytes."""
+    Stashes the full score matrix [B, N] in HBM while the scan computes
+    it, folds each block into 128-wide bins, then runs ONLY k global
+    extraction passes (vs the per-block tournament's nb*k): argmin over
+    the [B, N/128] bin minima, regather the winner's 128-wide bin from
+    the stash, re-reduce. Bitwise-identical results and tie order to
+    the per-block tournament (the same score values are re-read; ties
+    resolve to the lowest bin then lowest lane).
+
+    MEASURED SLOWER on TPU v5e — default OFF (round-5 negative result,
+    kept because it is exact, tested, and the trade may flip on other
+    backends). At the config-1 shape (131072 x 64, B=8192, k=10):
+    per-block tournament 53.9 ms; this path 140.9 ms = 36.3 ms
+    scan+stash + 111.5 ms extraction — XLA lowers the dynamic-start
+    128-wide row gather from the 4.3 GB stash catastrophically
+    (~11 ms/pass for a 4 MB read). Phase 1 alone (HIGHEST-precision
+    f32 matmul + bin fold, no stash) is 27.7 ms, so the exact-parity
+    scan is matmul-precision-bound: the round-4 "<=20 ms" target is
+    unreachable without relaxing the HIGHEST/numpy-parity contract,
+    and selection-side work beyond ~26 ms is already secondary."""
     b = queries.shape[0]
     n, d = vectors.shape
     nb = n // block_n
-    nbins = n // 128
     q_f32 = queries.astype(jnp.float32)
     q_sq = sq_norms(q_f32)
     queries = q_f32.astype(vectors.dtype)
+    v_blocks = vectors.reshape(nb, block_n, d)
+    sq_blocks = vec_sq.reshape(nb, block_n)
+    valid_blocks = valid.reshape(nb, block_n)
 
-    def step(i, carry):
-        s_full, bin_min, bin_pos = carry
-        off = i * block_n
-        v = lax.dynamic_slice_in_dim(vectors, off, block_n, axis=0)
-        sq = lax.dynamic_slice_in_dim(vec_sq, off, block_n, axis=0)
-        va = lax.dynamic_slice_in_dim(valid, off, block_n, axis=0)
+    # scan (not fori_loop + dynamic_update_slice): scan's stacked ys
+    # write each block's scores ONCE into the preallocated output; a
+    # [B, N] loop carry measured 3x slower (XLA copied the multi-GB
+    # carry instead of aliasing it in place)
+    def step(_, xs):
+        v, sq, va = xs
         s = score_matrix(queries, v, metric, vec_sq=sq, query_sq=q_sq,
                          precision=precision)
         s = jnp.where(va[None, :], s, INF_SCORE)
-        s_full = lax.dynamic_update_slice_in_dim(s_full, s, off, axis=1)
         s3 = s.reshape(b, block_n // 128, 128)
-        bin_min = lax.dynamic_update_slice_in_dim(
-            bin_min, jnp.min(s3, axis=2), off // 128, axis=1)
-        bin_pos = lax.dynamic_update_slice_in_dim(
-            bin_pos, jnp.argmin(s3, axis=2).astype(jnp.int32),
-            off // 128, axis=1)
-        return s_full, bin_min, bin_pos
+        return 0, (s, jnp.min(s3, axis=2),
+                   jnp.argmin(s3, axis=2).astype(jnp.int32))
 
-    s_full, bin_min, bin_pos = lax.fori_loop(
-        0, nb, step,
-        (jnp.full((b, n), INF_SCORE, jnp.float32),
-         jnp.full((b, nbins), INF_SCORE, jnp.float32),
-         jnp.zeros((b, nbins), jnp.int32)))
+    _, (s_stack, bm, bp) = lax.scan(
+        step, 0, (v_blocks, sq_blocks, valid_blocks))
+    # s_stack [nb, B, block_n] stays in block-stacked layout (a
+    # transpose to [B, N] would re-copy the multi-GB stash); bins are
+    # small and DO get the [B, nbins] layout for the extraction argmin
+    bin_min = jnp.moveaxis(bm, 0, 1).reshape(b, -1)  # [B, nbins]
+    bin_pos = jnp.moveaxis(bp, 0, 1).reshape(b, -1)
+    bins_per_block = block_n // 128
 
     rows = jnp.arange(b)
     lane3 = jnp.arange(128, dtype=jnp.int32)[None, :, None]
-    slice_row = jax.vmap(
-        lambda row, st: lax.dynamic_slice(row, (st,), (128,)))
+    s_flat = s_stack.reshape(-1)  # [nb * B * block_n]
+    slice_flat = jax.vmap(
+        lambda st: lax.dynamic_slice(s_flat, (st,), (128,)))
 
     def extract(j, carry):
         bin_min, bin_pos, out_s, out_i = carry
-        g = jnp.argmin(bin_min, axis=1).astype(jnp.int32)  # [B]
+        g = jnp.argmin(bin_min, axis=1).astype(jnp.int32)  # [B] global bin
         sc = jnp.min(bin_min, axis=1)
         pos = jnp.take_along_axis(bin_pos, g[:, None], axis=1)[:, 0]
         out_s = out_s.at[:, j].set(sc)
         out_i = out_i.at[:, j].set(g * 128 + pos)
-        # winner's bin from the stash; mask every element taken from it
-        bin_row = slice_row(s_full, g * 128)  # [B, 128]
+        # winner's 128-wide bin from the block-stacked stash
+        blk = g // bins_per_block
+        start = ((blk * b + rows) * block_n
+                 + (g % bins_per_block) * 128)
+        bin_row = slice_flat(start)  # [B, 128]
         taken_in_bin = (out_i // 128 == g[:, None]) & (
             jnp.arange(out_i.shape[1])[None, :] <= j)
         taken_pos = jnp.where(taken_in_bin, out_i % 128, -1)

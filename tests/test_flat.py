@@ -125,3 +125,36 @@ def test_prepare_queries_transfer_dtypes(rng):
     z = np.asarray(fi.prepare_queries(np.zeros((2, 32), np.float32),
                                       transfer_dtype="int8"))
     assert not np.isnan(z).any() and float(np.abs(z).max()) == 0.0
+
+
+def test_flat_topk_stashed_parity():
+    """flat_topk_stashed (default-off stashed-score scan; see its
+    docstring for the measured TPU trade) must stay bitwise-identical
+    to the per-block tournament, including tie order and masked rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_vss_tpu.ops.distance import sq_norms
+    from duckdb_vss_tpu.ops.topk import flat_topk, flat_topk_stashed
+
+    rng = np.random.default_rng(0)
+    for (b, n, d, k, bn) in [(64, 4096, 32, 10, 512), (16, 1024, 8, 32,
+                                                       256)]:
+        v = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+        valid = jnp.asarray(rng.random(n) > 0.1)
+        s1, i1 = flat_topk_stashed(q, v, k, MetricKind.L2SQ, sq_norms(v),
+                                   valid, bn, jax.lax.Precision.HIGHEST)
+        s2, i2 = flat_topk(q, v, k, MetricKind.L2SQ, valid=valid,
+                           block_n=bn)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # heavy ties: every row repeated 32x
+    v = jnp.asarray(np.repeat(rng.normal(size=(64, 16)).astype(np.float32),
+                              32, axis=0))
+    q = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    s1, i1 = flat_topk_stashed(q, v, 10, MetricKind.L2SQ, sq_norms(v),
+                               jnp.ones(2048, bool), 512,
+                               jax.lax.Precision.HIGHEST)
+    s2, i2 = flat_topk(q, v, 10, MetricKind.L2SQ, block_n=512)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
