@@ -99,34 +99,67 @@ def main():
         return float(np.mean([len(set(a) & set(b)) / k for a, b in
                               zip(got[:n_gt].tolist(), gt.tolist())]))
 
-    chosen = None
-    for ef in (16, 32, 48, 64, 96, 128):
+    # full ef sweep (round-4 verdict: one operating point at 10M was
+    # thin — record the curve + the recall ceiling, not just the
+    # cheapest >=0.95 point)
+    sweep = []
+    chosen = hi = None
+    prev_r = -1.0
+    for ef in (16, 32, 48, 64, 96, 128, 192, 256):
         _, got = idx.search(q[:n_gt], k, ef=ef, chunk=8192)
         r = recall(got)
         print(f"# ef={ef}: recall@10={r:.4f}", file=sys.stderr, flush=True)
-        chosen = (ef, r)
-        if r >= 0.95:
+        sweep.append({"ef": ef, "recall_at_10": round(r, 4)})
+        if chosen is None and r >= 0.95:
+            chosen = (ef, r)
+        if r >= 0.99:
+            hi = (ef, r)
             break
+        if r <= prev_r + 1e-4 and chosen is not None:
+            break  # saturated: recall ceiling reached
+        prev_r = r
+    if chosen is None:
+        chosen = (sweep[-1]["ef"], sweep[-1]["recall_at_10"])
+    if hi is None and sweep[-1]["recall_at_10"] > chosen[1] + 1e-4:
+        hi = (sweep[-1]["ef"], sweep[-1]["recall_at_10"])
+
+    def timed_qps(ef):
+        idx.search(q, k, ef=ef, chunk=8192)  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            idx.search(q, k, ef=ef, chunk=8192)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return nq / best
+
     ef, rec = chosen
-    idx.search(q, k, ef=ef, chunk=8192)  # warm
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
-        idx.search(q, k, ef=ef, chunk=8192)
-    qps = nq * iters / (time.time() - t0)
-    print(json.dumps({
+    qps = timed_qps(ef)
+    hi_entry = None
+    if hi is not None and hi[0] != ef:
+        hi_entry = {"ef": hi[0], "recall_at_10": round(hi[1], 4),
+                    "qps_e2e": round(timed_qps(hi[0]), 1)}
+    out = {
         "metric": "deep10m_shaped_top10_qps_per_chip",
         "value": round(qps, 1),
         "unit": "qps",
         "recall_at_10": round(rec, 4),
         "ef_search": ef,
+        "recall_sweep": sweep,
+        "high_recall_point": hi_entry,
         "build_seconds": round(build_s, 1),
         "build_vectors_per_s": round(n / build_s, 1),
         "n": n, "dims": d,
         "layout": f"scalar_kind={scalar} store (int8 neighborhood table "
                   "exceeds 1-chip HBM at 10M; sharded 8-way it fits "
                   "5 GB/shard)",
-    }), flush=True)
+    }
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "DEEP10M_r05.json")
+    with open(art, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
