@@ -583,12 +583,33 @@ class HNSWIndex:
         # big chunks amortize the per-dispatch round trip (measured:
         # chunk 8192 nearly doubles 1M-scale QPS over 2048); larger
         # requests are chunked host-side (dispatches overlap; one D2H
-        # per chunk)
-        outs = []
-        for off in range(0, b, chunk):
-            q = self.store.prepare_queries(
+        # per chunk). The NEXT chunk's upload is prefetched on a helper
+        # thread while this chunk dispatches: the tunnel serializes
+        # upload -> dispatch -> fetch (H2D_OVERLAP.json: e2e exceeded
+        # even upload+compute), so overlapping the upload against the
+        # previous chunk's device program reclaims up to one chunk's
+        # compute time per batch (round-4 verdict item 8).
+        import concurrent.futures as _cf
+        import os as _os3
+
+        offs = list(range(0, b, chunk))
+
+        def _prep(off):
+            return self.store.prepare_queries(
                 qarr[off : off + chunk],
                 transfer_dtype=self.query_transfer_dtype)
+
+        prefetch = (_os3.environ.get("DVT_PREFETCH_H2D", "1") == "1"
+                    and len(offs) > 1)
+        ex = fut = None
+        if prefetch:
+            ex = _cf.ThreadPoolExecutor(max_workers=1)
+            fut = ex.submit(_prep, offs[0])
+        outs = []
+        for i_off, off in enumerate(offs):
+            q = fut.result() if prefetch else _prep(off)
+            if prefetch and i_off + 1 < len(offs):
+                fut = ex.submit(_prep, offs[i_off + 1])
             uv, uvsq, unode = (self._upper_vectors()
                                if self.descent == "mxu"
                                else (None, None, None))
@@ -609,6 +630,8 @@ class HNSWIndex:
                 pallas_beam=self.use_pallas_beam and nv is not None,
                 upper_nodes=unode, hop_rerank=hop),
                 min(chunk, b - off)))
+        if ex is not None:
+            ex.shutdown(wait=False)
         # one device_get for every chunk's results (a fetch per chunk
         # costs a full tunnel round trip each)
         fetched = jax.device_get([o for o, _ in outs])
