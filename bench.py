@@ -190,7 +190,7 @@ def main():
     # chunk 8192 amortizes per-dispatch overhead; steps per ef from the
     # benchmarks/op_sweep.py recall-saturation measurements)
     steps_of = {16: 6, 24: 8, 32: 10, 48: 16, 64: 24, 96: 32, 128: 40,
-                192: 56, 256: 72}
+                192: 56, 256: 72, 384: 104, 512: 136}
     chosen = None
     for ef in (16, 24, 32, 48, 64, 96, 128):
         kw = dict(expand=4, n_seeds=8, chunk=8192,
@@ -289,7 +289,7 @@ def main():
         idx_h.add(hvecs, np.arange(n))
         hbuild_s = time.time() - t0
         h_chosen = None
-        for hef in (16, 24, 32, 48, 64, 96, 128, 192, 256):
+        for hef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
             hkw = dict(expand=4, n_seeds=8, chunk=8192,
                        max_steps=steps_of.get(hef))
             _, hgot = idx_h.search(hq[:n_gt], k, ef=hef, **hkw)
@@ -309,10 +309,20 @@ def main():
             idx_h.search(hq, k, ef=hef, **hkw)
             dt = time.time() - t0
             hbest = dt if hbest is None else min(hbest, dt)
+        # device-resident point too: at the high ef the hard data
+        # needs, the tunnel (not the engine) dominates e2e — same
+        # dual-reporting as the headline
+        hqd = idx_h.store.prepare_queries(hq[:8192])
+        _jax.block_until_ready(hqd)
+        h_dev = device_time(
+            lambda: idx_h.search_device(
+                hqd, k, ef=hef, expand=4,
+                max_steps=steps_of.get(hef)), iters=5)
         hard = {
             "recall_at_10": round(hrec, 4),
             "ef_search": hef,
             "qps_e2e": round(nq / hbest, 1),
+            "qps_device_resident": round(8192 / h_dev, 1),
             "build_seconds": round(hbuild_s, 1),
             "gen_gt_seconds": round(hgen_s, 1),
             "generator": ("mixed sigma {0.1,0.25,0.5} clusters + 15% "

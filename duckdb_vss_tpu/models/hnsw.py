@@ -123,10 +123,13 @@ class HNSWIndex:
         # the sequential step count vs 2 (+85% insert throughput at 1M,
         # measured) at equal clean-protocol self-recall (0.966 both)
         build_prune: str = "diversity",
-        build_backlink_cols: int = 8,  # request back-edges from the 8
+        build_backlink_cols: int = 4,  # request back-edges from the 4
         # closest forward targets only; far targets reject the new node
-        # under diversity pruning anyway and P drops 4x per round
-        # (measured: quality unchanged, +25% insert throughput)
+        # under diversity pruning anyway and P drops per round
+        # (round-5 measured, 1M churn protocol: quality floor identical
+        # to cols=8 — self@1 0.999 — at +27% insert throughput;
+        # pure-incremental from-empty quality guarded by
+        # test_backlink_cap_pure_incremental_quality)
         traversal_dtype: str | None = None,
         scalar_kind: str = "f32",
         build_max_steps: int | None = None,  # cap the insert base-layer
@@ -174,10 +177,14 @@ class HNSWIndex:
             build_max_steps = int(_env_ms)
         self.build_max_steps = build_max_steps
         # back-link conflict-resolution rounds (build._apply_backlinks).
-        # 4 = the quality default; the rounds are ~25% of a capped
-        # insert batch (benchmarks/insert_steps_sweep.py profile)
+        # Default 2 (round 5): the rounds are ~25% of a capped insert
+        # batch (benchmarks/insert_steps_sweep.py device profile) and
+        # the churn-protocol quality floor measured identical to 4
+        # rounds (self@1 0.999, in-top10 0.999, best-of-3 4690 vec/s
+        # at 1Mx128); DVT_BUILD_R_ROUNDS=4 restores the conservative
+        # setting
         self.build_r_rounds = int(_os2.environ.get("DVT_BUILD_R_ROUNDS",
-                                                   "4"))
+                                                   "2"))
         # bulk loads into an empty graph at/above this size use the exact
         # kNN-graph MXU build instead of batched insertion
         self.bulk_threshold = 4096
