@@ -1059,7 +1059,15 @@ class ShardedHNSWIndex:
         32k x 64 S=8: ef_local 16 -> recall 0.9635 vs single-index
         0.9627 at 2.3x the full-ef policy's QPS —
         benchmarks/sharded_scaling.py); pass ef_local explicitly
-        (e.g. ef_local=ef) for the old behavior."""
+        (e.g. ef_local=ef) for the old behavior.
+
+        Caveat (131k-scale run, SCALING_r05_131k.json): in HIGH-recall
+        regimes the policy trades recall — at S=8 it reads 0.9658
+        where the single index reads 0.999 (full ef per shard reads
+        0.976 there: sharding itself costs ~2pp at that operating
+        point). The policy is an iso-recall-CLASS default for the
+        ~0.95-0.97 operating tier; recall-critical callers should pass
+        ef_local=ef (or higher)."""
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
